@@ -1,0 +1,358 @@
+"""TypeScript/JavaScript + Dart subset lexers (reference H12/H13).
+
+Replicate the output of the ts-analyzer / dart-analyzer bridges plus the C#
+re-keying layer over the generator's template subset:
+
+* TS symbols keyed ``{fileKey}:{Kind}:{name}:{startLine}``
+  (TypeScriptHandlerBase.cs:74) with kinds hardcoded ``TypeScript*`` even for
+  .js files — the config KindPrefix knob is declared but never applied
+  (config.json:5-6 vs visitor.ts:106-337).
+* fqn ``@{project}/{relInProjectPath}::{Class.}name`` (visitor.ts:409-413);
+  files with no ancestor package.json are skipped entirely
+  (TypeScriptHandlerBase.cs:36-41).
+* edges use lowercase kind tokens class/method/file/package/constructor with
+  null lines (visitor.ts:354-405,486-496), so from/to keys never equal symbol
+  keys and every TS/Dart relationship drops at entity linking — reference
+  behavior the replica must keep (SURVEY §1.4.1).
+* Dart kinds ``Dart*`` (ast_visitor.dart:50-412); accessibility: ``_`` prefix
+  -> Private, ``@protected`` -> Protected, ``@visibleForTesting`` -> Internal
+  (ast_visitor.dart:39-48).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+
+from codegraph import keys
+from codegraph.extract.base import Emitter
+from codegraph.schema import ACC_NOT_APPLICABLE, ACC_ORDER, R_CONTAINS, R_DEPENDS_ON, R_INVOKES
+
+_TS_IMPORT_RE = re.compile(r"^import\s+.*?from\s+['\"]([^'\"]+)['\"]", re.MULTILINE)
+_TS_CLASS_RE = re.compile(
+    r"^(?:export\s+)?(?P<abstract>abstract\s+)?class\s+(?P<name>\w+)"
+    r"(?:\s+extends\s+(?P<base>[\w.]+))?(?:\s+implements\s+(?P<ifaces>[\w.,\s]+?))?\s*\{",
+    re.MULTILINE)
+_TS_IFACE_RE = re.compile(r"^(?:export\s+)?interface\s+(?P<name>\w+)", re.MULTILINE)
+_TS_ENUM_RE = re.compile(r"^(?:export\s+)?enum\s+(?P<name>\w+)", re.MULTILINE)
+_TS_TYPE_RE = re.compile(r"^(?:export\s+)?type\s+(?P<name>\w+)\s*=", re.MULTILINE)
+_TS_FUNC_RE = re.compile(r"^(?:export\s+)?(?:async\s+)?function\s+(?P<name>\w+)\s*\(", re.MULTILINE)
+_TS_ARROW_RE = re.compile(r"^(?:export\s+)?const\s+(?P<name>\w+)\s*=\s*(?:async\s*)?\([^)]*\)?\s*=>|"
+                          r"^(?:export\s+)?const\s+(?P<name2>\w+)\s*=\s*\(\)\s*=>", re.MULTILINE)
+_TS_FIELD_RE = re.compile(
+    r"^\s+(?P<acc>private|protected|public)?\s*(?:readonly\s+)?(?P<name>\w+)\s*:\s*[\w.<>\[\]]+\s*(?:=[^;]*)?;",
+    re.MULTILINE)
+_TS_CTOR_RE = re.compile(r"^\s+constructor\s*\(", re.MULTILINE)
+_TS_GETTER_RE = re.compile(r"^\s+(?P<acc>private|protected|public)?\s*get\s+(?P<name>\w+)\s*\(", re.MULTILINE)
+_TS_METHOD_RE = re.compile(
+    r"^\s+(?P<acc>private|protected|public)?\s*(?:async\s+)?(?P<name>\w+)\s*\([^)]*\)\s*:\s*[\w.<>\[\]]+\s*\{",
+    re.MULTILINE)
+_TS_CALL_RE = re.compile(r"(?:this\.)?(\w+)\s*\(")
+_TS_NEW_RE = re.compile(r"\bnew\s+(\w+)\s*\(")
+_TS_DOC_RE = re.compile(r"/\*\*\s*(.*?)\s*\*/", re.DOTALL)
+
+
+def _line_of(content: str, idx: int) -> int:
+    return keys.line_number(content, idx)
+
+
+def _acc_passes(acc: str, min_acc: int) -> bool:
+    """TypeScriptHandlerBase.cs:138-155: include-all when min==NotApplicable,
+    else mapped accessibility >= min (unknown maps to Public)."""
+    if min_acc == ACC_NOT_APPLICABLE:
+        return True
+    return ACC_ORDER.get(acc, 6) >= min_acc
+
+
+def _doc_before(content: str, idx: int) -> str | None:
+    """jsdoc /** ... */ immediately preceding a declaration."""
+    prefix = content[:idx]
+    m = None
+    for m in _TS_DOC_RE.finditer(prefix):
+        pass
+    if m and prefix[m.end():].strip() == "":
+        return m.group(1)
+    return None
+
+
+def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
+               min_acc: int, ts_projects: dict) -> None:
+    ns = keys.dir_namespace(em.path)
+    em.filemeta(ns or None)
+
+    # find governing package.json (TypeScriptHandlerBase.cs:36-41,115-129)
+    project = None
+    project_dir = None
+    d = posixpath.dirname(file_key)
+    while True:
+        if (repo, d) in ts_projects:
+            project = ts_projects[(repo, d)]
+            project_dir = d
+            break
+        if d == "":
+            break
+        d = posixpath.dirname(d)
+    if project is None:
+        return  # no package.json ancestor -> analyzer skipped the file
+
+    rel_in_project = file_key[len(project_dir) + 1:] if project_dir else file_key
+
+    def fqn(name: str, cls: str | None = None) -> str:
+        prefix = f"@{project}/{rel_in_project}"
+        return f"{prefix}::{cls}.{name}" if cls else f"{prefix}::{name}"
+
+    def sym(kind: str, name: str, klass: str, line: int, acc: str = "Public",
+            doc: str | None = None, cls: str | None = None):
+        if not _acc_passes(acc, min_acc):
+            return
+        k = keys.text_key(file_key, kind, name, line)
+        em.symbol(k, name, kind, klass, fqn(name, cls), acc, ns, line,
+                  documentation=doc)
+
+    # imports -> file-level DEPENDS_ON with lowercase 'file' kind tokens
+    # (visitor.ts:354-372) — these keys never match symbols and drop at J1
+    for m in _TS_IMPORT_RE.finditer(content):
+        spec = m.group(1)
+        line = _line_of(content, m.start())
+        is_rel = spec.startswith(".") or spec.startswith("/")
+        if is_rel:
+            to_file = posixpath.normpath(posixpath.join(posixpath.dirname(rel_in_project), spec))
+            if not posixpath.splitext(to_file)[1]:
+                to_file += ".ts"
+            to_symbol = to_file
+            to_file_key = (f"{project_dir}/{to_file}" if project_dir else to_file)
+            to_kind = "file"
+        else:
+            to_symbol = spec.split("/")[0]
+            to_file_key = file_key
+            to_kind = "package"
+        from_key = keys.text_key(file_key, "file", rel_in_project, line)
+        to_key = keys.text_key(to_file_key, to_kind, to_symbol)
+        em.rel(from_key, to_key, R_DEPENDS_ON)
+
+    lines = content.split("\n")
+
+    for m in _TS_CLASS_RE.finditer(content):
+        name = m.group("name")
+        line = _line_of(content, m.start())
+        kind = "TypeScriptAbstractClass" if m.group("abstract") else "TypeScriptClass"
+        sym(kind, name, "class", line, "Public", _doc_before(content, m.start()))
+        cls_key_tok = keys.text_key(file_key, "class", name, line)
+        # heritage -> DEPENDS_ON (visitor.ts:118-131) — lowercase tokens, drop
+        targets = []
+        if m.group("base"):
+            targets.append(m.group("base"))
+        if m.group("ifaces"):
+            targets += [t.strip() for t in m.group("ifaces").split(",") if t.strip()]
+        for t in targets:
+            em.rel(cls_key_tok, keys.text_key(file_key, "class", t), R_DEPENDS_ON)
+
+        # class body members
+        body_start = m.end()
+        depth = 1
+        j = body_start
+        while j < len(content) and depth > 0:
+            if content[j] == "{":
+                depth += 1
+            elif content[j] == "}":
+                depth -= 1
+            j += 1
+        body = content[body_start:j]
+        boff = body_start
+
+        for fm in _TS_FIELD_RE.finditer(body):
+            fl = _line_of(content, boff + fm.start())
+            sym("TypeScriptField", fm.group("name"), "field", fl,
+                _acc_map(fm.group("acc")), cls=name)
+            em.rel(cls_key_tok, keys.text_key(file_key, "field", fm.group("name"), fl),
+                   R_CONTAINS)
+        for cm in _TS_CTOR_RE.finditer(body):
+            cl = _line_of(content, boff + cm.start())
+            sym("TypeScriptConstructor", "constructor", "constructor", cl, "Public", cls=name)
+            em.rel(cls_key_tok, keys.text_key(file_key, "constructor", "constructor", cl),
+                   R_CONTAINS)
+        for gm in _TS_GETTER_RE.finditer(body):
+            gl = _line_of(content, boff + gm.start())
+            sym("TypeScriptProperty", gm.group("name"), "property", gl,
+                _acc_map(gm.group("acc")), cls=name)
+            em.rel(cls_key_tok, keys.text_key(file_key, "property", gm.group("name"), gl),
+                   R_CONTAINS)
+        for mm in _TS_METHOD_RE.finditer(body):
+            mname = mm.group("name")
+            if mname in ("constructor", "get", "if", "for", "while"):
+                continue
+            ml = _line_of(content, boff + mm.start())
+            sym("TypeScriptMethod", mname, "method", ml, _acc_map(mm.group("acc")), cls=name)
+            mkey = keys.text_key(file_key, "method", mname, ml)
+            em.rel(cls_key_tok, mkey, R_CONTAINS)
+            # calls / new inside the member line (visitor.ts:374-405)
+            stmt = body[mm.end():body.find("}", mm.end()) if body.find("}", mm.end()) > 0 else len(body)]
+            for c in _TS_CALL_RE.finditer(stmt):
+                if stmt[max(0, c.start() - 4):c.start()].endswith("new "):
+                    continue  # NewExpression, handled below (visitor.ts:391-405)
+                em.rel(keys.text_key(file_key, "method", mname),
+                       keys.text_key(file_key, "method", c.group(1)), R_INVOKES)
+            for nw in _TS_NEW_RE.finditer(stmt):
+                em.rel(keys.text_key(file_key, "method", mname),
+                       keys.text_key(file_key, "constructor", nw.group(1)), R_INVOKES)
+
+    for m in _TS_IFACE_RE.finditer(content):
+        sym("TypeScriptInterface", m.group("name"), "interface",
+            _line_of(content, m.start()), "Public", _doc_before(content, m.start()))
+    for m in _TS_ENUM_RE.finditer(content):
+        sym("TypeScriptEnum", m.group("name"), "enum", _line_of(content, m.start()))
+    for m in _TS_TYPE_RE.finditer(content):
+        sym("TypeScriptTypeAlias", m.group("name"), "type", _line_of(content, m.start()))
+    for m in _TS_FUNC_RE.finditer(content):
+        name = m.group("name")
+        line = _line_of(content, m.start())
+        sym("TypeScriptFunction", name, "function", line)
+        # top-level function body calls
+        rest = content[m.end():]
+        end = rest.find("}")
+        for c in _TS_CALL_RE.finditer(rest[:end if end > 0 else 0]):
+            em.rel(keys.text_key(file_key, "function", name),
+                   keys.text_key(file_key, "method", c.group(1)), R_INVOKES)
+    for m in _TS_ARROW_RE.finditer(content):
+        name = m.group("name") or m.group("name2")
+        if name:
+            sym("TypeScriptFunction", name, "function", _line_of(content, m.start()))
+
+
+def _acc_map(tok: str | None) -> str:
+    return {"private": "Private", "protected": "Protected",
+            "public": "Public"}.get(tok or "", "Public")
+
+
+# ---------------------------------------------------------------------------
+# Dart
+# ---------------------------------------------------------------------------
+
+_DART_IMPORT_RE = re.compile(r"^import\s+['\"]([^'\"]+)['\"]", re.MULTILINE)
+_DART_CLASS_RE = re.compile(
+    r"^(?:abstract\s+)?class\s+(?P<name>\w+)"
+    r"(?:\s+extends\s+(?P<base>\w+))?(?:\s+with\s+(?P<mixins>[\w,\s]+?))?"
+    r"(?:\s+implements\s+(?P<ifaces>[\w,\s]+?))?\s*\{", re.MULTILINE)
+_DART_MIXIN_RE = re.compile(r"^mixin\s+(?P<name>\w+)", re.MULTILINE)
+_DART_ENUM_RE = re.compile(r"^enum\s+(?P<name>\w+)", re.MULTILINE)
+_DART_EXT_RE = re.compile(r"^extension\s+(?P<name>\w+)\s+on\s+", re.MULTILINE)
+_DART_TYPEDEF_RE = re.compile(r"^typedef\s+(?P<name>\w+)\s*=", re.MULTILINE)
+_DART_FUNC_RE = re.compile(r"^(?P<ret>[\w<>]+)\s+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
+_DART_TOPVAR_RE = re.compile(r"^(?:final|const)\s+[\w<>]+\s+(?P<name>_?\w+)\s*=", re.MULTILINE)
+_DART_TOPGET_RE = re.compile(r"^[\w<>]+\s+get\s+(?P<name>_?\w+)\s*(?:=>|\{)", re.MULTILINE)
+_DART_FIELD_RE = re.compile(r"^\s+(?:final\s+|const\s+|late\s+)?(?P<type>[\w<>]+)\s+(?P<name>_?\w+)\s*(?:=[^;]*)?;", re.MULTILINE)
+_DART_GETTER_RE = re.compile(r"^\s+[\w<>]+\s+get\s+(?P<name>_?\w+)\s*=>", re.MULTILINE)
+_DART_METHOD_RE = re.compile(r"^\s+(?P<ret>[\w<>]+)\s+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
+_DART_CALL_RE = re.compile(r"(\w+)\.(\w+)\s*\(|(?<![\w.])(\w+)\s*\(")
+
+
+def _dart_acc(name: str, annotations: str = "") -> str:
+    """ast_visitor.dart:39-48."""
+    if "@visibleForTesting" in annotations:
+        return "Internal"
+    if "@protected" in annotations:
+        return "Protected"
+    if name.startswith("_"):
+        return "Private"
+    return "Public"
+
+
+def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
+                 min_acc: int) -> None:
+    ns = keys.dir_namespace(em.path)
+    em.filemeta(ns or None)
+
+    def sym(kind: str, name: str, klass: str, line: int, acc: str | None = None,
+            doc: str | None = None):
+        a = acc if acc is not None else _dart_acc(name)
+        if not _acc_passes(a, min_acc):
+            return
+        k = keys.text_key(file_key, kind, name, line)
+        em.symbol(k, name, kind, klass, name, a, ns, line, documentation=doc)
+
+    for m in _DART_IMPORT_RE.finditer(content):
+        spec = m.group(1)
+        line = _line_of(content, m.start())
+        em.rel(keys.text_key(file_key, "file", file_key, line),
+               keys.text_key(file_key, "file", spec), R_DEPENDS_ON)
+
+    for m in _DART_CLASS_RE.finditer(content):
+        name = m.group("name")
+        line = _line_of(content, m.start())
+        sym("DartClass", name, "class", line)
+        cls_tok = keys.text_key(file_key, "class", name, line)
+        heritage = []
+        if m.group("base"):
+            heritage.append(m.group("base"))
+        if m.group("mixins"):
+            heritage += [t.strip() for t in m.group("mixins").split(",") if t.strip()]
+        if m.group("ifaces"):
+            heritage += [t.strip() for t in m.group("ifaces").split(",") if t.strip()]
+        for t in heritage:
+            em.rel(cls_tok, keys.text_key(file_key, "class", t), R_DEPENDS_ON)
+
+        body_start = m.end()
+        depth = 1
+        j = body_start
+        while j < len(content) and depth > 0:
+            if content[j] == "{":
+                depth += 1
+            elif content[j] == "}":
+                depth -= 1
+            j += 1
+        body = content[body_start:j]
+        boff = body_start
+
+        for fm in _DART_FIELD_RE.finditer(body):
+            fl = _line_of(content, boff + fm.start())
+            sym("DartField", fm.group("name"), "field", fl)
+            em.rel(cls_tok, keys.text_key(file_key, "field", fm.group("name"), fl), R_CONTAINS)
+            em.rel(cls_tok, keys.text_key(file_key, "class", fm.group("type")), R_DEPENDS_ON)
+        for gm in _DART_GETTER_RE.finditer(body):
+            gl = _line_of(content, boff + gm.start())
+            sym("DartProperty", gm.group("name"), "property", gl)
+            em.rel(cls_tok, keys.text_key(file_key, "property", gm.group("name"), gl), R_CONTAINS)
+        ctor = re.search(rf"^\s+{name}\s*\(", body, re.MULTILINE)
+        if ctor:
+            cl = _line_of(content, boff + ctor.start())
+            sym("DartConstructor", name, "constructor", cl)
+            em.rel(cls_tok, keys.text_key(file_key, "constructor", name, cl), R_CONTAINS)
+        for mm in _DART_METHOD_RE.finditer(body):
+            mname = mm.group("name")
+            if mname == name or mm.group("ret") in ("final", "const", "return", "get"):
+                continue
+            ml = _line_of(content, boff + mm.start())
+            sym("DartMethod", mname, "method", ml)
+            mtok = keys.text_key(file_key, "method", mname, ml)
+            em.rel(cls_tok, mtok, R_CONTAINS)
+            stmt_end = body.find("}", mm.end())
+            stmt = body[mm.end():stmt_end if stmt_end > 0 else len(body)]
+            for c in re.finditer(r"(\w+)\.(\w+)\s*\(", stmt):
+                em.rel(keys.text_key(file_key, "method", mname),
+                       keys.text_key(file_key, "method", c.group(2)), R_INVOKES)
+
+    for m in _DART_MIXIN_RE.finditer(content):
+        sym("DartMixin", m.group("name"), "mixin", _line_of(content, m.start()))
+    for m in _DART_ENUM_RE.finditer(content):
+        sym("DartEnum", m.group("name"), "enum", _line_of(content, m.start()))
+    for m in _DART_EXT_RE.finditer(content):
+        sym("DartExtension", m.group("name"), "extension", _line_of(content, m.start()))
+    for m in _DART_TYPEDEF_RE.finditer(content):
+        sym("DartTypeAlias", m.group("name"), "typedef", _line_of(content, m.start()))
+    for m in _DART_FUNC_RE.finditer(content):
+        name = m.group("name")
+        ret = m.group("ret")
+        if ret in ("class", "mixin", "enum", "extension", "typedef", "import",
+                   "final", "const", "get") or name == "get":
+            continue
+        line = _line_of(content, m.start())
+        sym("DartFunction", name, "function", line)
+        rest = content[m.end():]
+        end = rest.find("}")
+        for c in re.finditer(r"(?<![\w.])(\w+)\s*\(", rest[:end if end > 0 else 0]):
+            em.rel(keys.text_key(file_key, "function", name),
+                   keys.text_key(file_key, "function", c.group(1)), R_INVOKES)
+    for m in _DART_TOPVAR_RE.finditer(content):
+        sym("DartField", m.group("name"), "field", _line_of(content, m.start()))
+    for m in _DART_TOPGET_RE.finditer(content):
+        sym("DartProperty", m.group("name"), "property", _line_of(content, m.start()))

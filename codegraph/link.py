@@ -1,0 +1,196 @@
+"""Entity linking: mention resolution + dangling-edge drop.
+
+Two distributed stages, all expressed as DataFrame joins so Catalyst picks
+broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
+
+1. **Mention resolution** — the replica's stand-in for Roslyn semantic
+   binding. C# extraction emits unresolved type/invocation mentions with an
+   ordered candidate-namespace list (own namespace first, then usings, the
+   C# lookup order). They are resolved against the per-repo symbol
+   dictionary; the first matching namespace wins; unresolvable mentions are
+   Roslyn error types -> no edge (MemberDependencyExtractor.cs:241,255,282).
+
+2. **Dangling-edge drop (J1/F9)** — candidate edges survive only when BOTH
+   endpoint keys exist as Symbol nodes in the same repo universe
+   (MergeRelationships.cypher:1-5). This silently drops: all file-keyed
+   edges (files are not Symbols), all BCL/keyword-type DEPENDS_ON, all
+   TS/Dart edges (kind-token key mismatch) — reference behavior.
+
+Graph universes are per-repo (each reference run targets one --database),
+so every join key includes ``repo``.
+
+Skew: hot in-repo names (a 'Util' class referenced by most files) concentrate
+dictionary keys. ``salt > 0`` replicates the dictionary side S times and
+routes each mention by a deterministic hash of its file path, bounding the
+largest join partition (explicit skew salting per north_rule); AQE skew-join
+splitting covers residual imbalance at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codegraph.extract.base import US
+
+
+def build_dictionaries(symbols: DataFrame):
+    """FQN dictionaries from deduped C# symbols.
+
+    types:   (repo, ns, name, type_key, type_display)
+    members: (repo, type_display, lookup_name, nparams, member_key)
+    nss:     (repo, ns) — namespaces declared in-repo (same-assembly check,
+             MemberDependencyExtractor.cs:53-75)
+    """
+    cs = symbols.filter(F.col("language") == "csharp")
+    types = (
+        cs.filter(F.col("kind") == "NamedType")
+        .select(
+            "repo",
+            F.coalesce(F.col("namespace"), F.lit("")).alias("ns"),
+            F.col("name"),
+            F.col("key").alias("type_key"),
+            F.expr("substring(fqn, 9)").alias("type_display"),  # strip 'global::'
+        )
+    )
+    nss = types.select("repo", "ns").distinct()
+    methods = (
+        cs.filter(F.col("kind") == "Method")
+        .select(
+            "repo", "key",
+            F.expr("substring(fqn, 9)").alias("display"),
+            F.col("name"),
+        )
+        .withColumn("paren", F.expr("instr(display, '(')"))
+        .withColumn("head", F.expr("substring(display, 1, paren - 2)"))
+        .withColumn("params", F.expr("substring(display, paren + 1, length(display) - paren - 1)"))
+        .withColumn("nparams", F.when(F.col("params") == "", F.lit(0))
+                    .otherwise(F.size(F.split(F.col("params"), ","))))
+    )
+    # head = "Ns.Type.name"; lookup_name = last dot segment; '.ctor' symbols
+    # get a '<ctor>' sentinel (their display segment is the type name)
+    methods = (
+        methods
+        .withColumn("simple", F.element_at(F.split(F.col("head"), "\\."), -1))
+        .withColumn(
+            "type_display",
+            F.expr("substring(head, 1, length(head) - length(simple) - 1)"),
+        )
+        .withColumn("lookup_name",
+                    F.when(F.col("name") == ".ctor", F.lit("<ctor>"))
+                    .otherwise(F.col("simple")))
+        .select("repo", "type_display", "lookup_name", "nparams",
+                F.col("key").alias("member_key"))
+    )
+    return types, methods, nss
+
+
+_MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
+                    "m_recv", "m_usings", "m_nargs"]
+
+
+def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
+                   salt: int = 0) -> DataFrame:
+    """Resolve ``name_col`` against the ordered candidate-namespace list.
+    Keeps the first (lowest-priority-index) namespace that declares the name;
+    unresolved mentions drop (Roslyn error type => no edge). Adds columns
+    t_key / t_display."""
+    cands = mentions.select(
+        "*", F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
+    )
+    t = types
+    join_cond = [cands.repo == t.repo, cands.cand_ns == t.ns,
+                 F.col(name_col) == t.name]
+    if salt > 0:
+        t = t.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        cands = cands.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(salt)).cast("int"))
+        join_cond.append(cands["_salt"] == t["_salt"])
+    joined = cands.join(t, on=join_cond, how="inner").drop(t.repo)
+    if salt > 0:
+        joined = joined.drop("_salt")
+    w = Window.partitionBy(*_MENTION_ID_COLS).orderBy("prio")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "prio", "cand_ns", "ns", "name")
+        .withColumnRenamed("type_key", "t_key")
+        .withColumnRenamed("type_display", "t_display")
+    )
+
+
+def _as_edge(df: DataFrame, dst_col: str) -> DataFrame:
+    return df.select("repo", F.col("m_from_key").alias("src_key"),
+                     F.col("m_rel").alias("rel_type"),
+                     F.col(dst_col).alias("dst_key"))
+
+
+def resolve_mentions(records: DataFrame, symbols: DataFrame,
+                     salt: int = 0) -> DataFrame:
+    """mention records -> resolved candidate edges (repo, src_key, rel_type,
+    dst_key). Duplicate mentions are collapsed first — MERGE semantics make
+    edge multiplicity irrelevant (§1.4.4)."""
+    types, members, nss = build_dictionaries(symbols)
+    mentions = (
+        records.filter(F.col("rec") == "mention")
+        .select(*_MENTION_ID_COLS)
+        .distinct()
+    )
+
+    # --- type mentions: DEPENDS_ON from containing type to resolved type ---
+    tm = mentions.filter(F.col("m_kind") == "type")
+    type_edges = _as_edge(_resolve_types(tm, types, "m_name", salt), "t_key")
+
+    # --- ctor mentions: resolve type, then its declared ctor by arg count ---
+    cm = _resolve_types(mentions.filter(F.col("m_kind") == "ctor"), types,
+                        "m_name", salt)
+    ctors = members.filter(F.col("lookup_name") == "<ctor>")
+    ctor_edges = _as_edge(
+        cm.join(ctors, on=[cm.repo == ctors.repo,
+                           cm.t_display == ctors.type_display,
+                           cm.m_nargs == ctors.nparams], how="inner")
+        .drop(ctors.repo), "member_key")
+
+    # --- own-type invocations: m_recv already holds the type display --------
+    im = mentions.filter(F.col("m_kind") == "invoke")
+    own_edges = _as_edge(
+        im.join(members, on=[im.repo == members.repo,
+                             im.m_recv == members.type_display,
+                             im.m_name == members.lookup_name], how="inner")
+        .drop(members.repo), "member_key")
+
+    # --- field-receiver / static-receiver invocations: resolve the receiver
+    #     token to a type, then the member by name --------------------------
+    vm = mentions.filter(F.col("m_kind").isin("invoke_via", "invoke_static"))
+    vm_t = _resolve_types(vm, types, "m_recv", salt)
+    via_edges = _as_edge(
+        vm_t.join(members, on=[vm_t.repo == members.repo,
+                               vm_t.t_display == members.type_display,
+                               vm_t.m_name == members.lookup_name], how="inner")
+        .drop(members.repo), "member_key")
+
+    # --- using-directive mentions: external namespaces dangle; in-repo
+    #     namespaces are same-assembly => no edge (RoslynSymbolProcessor.cs:47-65)
+    um = mentions.filter(F.col("m_kind") == "using")
+    ext_using = (
+        um.join(nss, on=[um.repo == nss.repo, um.m_name == nss.ns], how="left_anti")
+        .select("repo", F.col("m_from_key").alias("src_key"),
+                F.col("m_rel").alias("rel_type"),
+                F.concat(F.col("repo"), F.lit(":"), F.col("m_name")).alias("dst_key"))
+    )
+
+    return (type_edges.unionByName(ctor_edges).unionByName(own_edges)
+            .unionByName(via_edges).unionByName(ext_using))
+
+
+def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:
+    """J1/F9: keep edges whose BOTH endpoints exist as Symbol nodes in the
+    same repo (MergeRelationships.cypher:1-5); output distinct triples
+    (apoc.merge.relationship is idempotent)."""
+    sk = symbols.select("repo", F.col("key").alias("_k")).distinct()
+    return (
+        candidate_edges
+        .join(sk.withColumnRenamed("_k", "src_key"), ["repo", "src_key"], "left_semi")
+        .join(sk.withColumnRenamed("_k", "dst_key"), ["repo", "dst_key"], "left_semi")
+        .select("repo", "src_key", "rel_type", "dst_key")
+        .distinct()
+    )

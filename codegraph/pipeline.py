@@ -1,0 +1,357 @@
+"""Pipeline orchestration: source table -> nodes / edges / files tables.
+
+Mirrors the reference run lifecycle (SURVEY §3.1) Spark-first:
+
+    discovery filter (S3/F1/F2, Catalyst predicate pushdown)
+      -> optional incremental diff semi-join (F3) + deleted marking (F4)
+      -> ONE vectorized extraction pass (H1-H14)
+      -> last-write-wins symbol dedup (§1.4.2)
+      -> mention resolution + dangling-edge drop (J1/F9)
+      -> git metadata aggregation + broadcast join (A1/J9)
+      -> node/edge assembly per label (UpsertFile/Symbols/Dependencies/
+         Commit/Tags/DependencyUrls cypher semantics)
+      -> repo-hash bucketed tables
+
+Graph universes are per-repo (reference targets one --database per run):
+all identity is (repo, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codegraph import canon, gitmeta, link
+from codegraph import schema as S
+from codegraph.extract import extract_records
+from codegraph.extract.dispatch import scan_ts_projects
+from codegraph.schema import ACC_ORDER
+
+# ---------------------------------------------------------------------------
+# discovery (S3/F1/F2)
+# ---------------------------------------------------------------------------
+
+_EXCLUDED_RE = "(^|/)(" + "|".join(
+    d.replace(".", "\\.") for d in S.EXCLUDED_DIRS) + ")/"
+
+
+def discover(source: DataFrame,
+             include_extensions=S.INCLUDE_EXTENSIONS,
+             filenames=S.FILENAME_HANDLERS) -> DataFrame:
+    """Include-extension filter (case-insensitive EndsWith,
+    SolutionFileDiscoveryService.cs:38-41) + excluded-dir segments (:141-149).
+    Pure Catalyst predicates — pushed into the parquet scan."""
+    low = F.lower(F.col("path"))
+    ext_pred = F.lit(False)
+    for ext in include_extensions:
+        ext_pred = ext_pred | low.endswith(ext)
+    for fname in filenames:
+        ext_pred = ext_pred | (F.element_at(F.split(low, "/"), -1) == fname)
+    return source.filter(ext_pred & ~low.rlike(_EXCLUDED_RE))
+
+
+def apply_diff_filter(files: DataFrame, diff: DataFrame | None) -> DataFrame:
+    """F3 (SolutionProcessor.cs:301-324): diff present & non-empty -> keep
+    modified/added paths only; diff present & empty -> process NOTHING."""
+    if diff is None:
+        return files
+    changed = diff.filter(F.col("status").isin("M", "A")).select("repo", "path")
+    return files.join(changed, ["repo", "path"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# namespace inference as Catalyst expressions (FileService.cs:24-55)
+# ---------------------------------------------------------------------------
+
+
+def with_inferred_namespace(df: DataFrame, path_col: str = "path") -> DataFrame:
+    p = F.col(path_col)
+    directory = F.when(F.instr(p, "/") > 0,
+                       F.expr(f"substring({path_col}, 1, length({path_col}) - "
+                              f"instr(reverse({path_col}), '/'))")) \
+        .otherwise(F.lit(""))
+    dotted = F.regexp_replace(directory, "/", ".")
+    low = F.lower(dotted)
+    roslyn_ns = (
+        F.when(low.startswith("src."), F.expr("substring(regexp_replace("
+               f"substring({path_col}, 1, length({path_col}) - instr(reverse({path_col}), '/')), '/', '.'), 5)"))
+        .when(low == "src", F.lit(""))
+        .when(low.startswith("source."), F.expr("substring(regexp_replace("
+              f"substring({path_col}, 1, length({path_col}) - instr(reverse({path_col}), '/')), '/', '.'), 8)"))
+        .when(low == "source", F.lit(""))
+        .otherwise(dotted)
+    )
+    is_roslyn = F.lower(p).rlike("\\.(cs|razor|xaml)$")
+    return df.withColumn("inferred_namespace",
+                         F.when(is_roslyn, roslyn_ns).otherwise(directory))
+
+
+# namespace -> tags as pure SQL (NamespaceTagParser.cs:29-98); identical
+# regexes are used in the DuckDB oracles.
+def tags_expr(ns_col: str):
+    seg = "seg"
+    transform = (
+        f"filter(transform(split({ns_col}, '\\\\.'), {seg} -> "
+        f"CASE WHEN {seg} IN ('DotNet', 'iOS') THEN {seg} "
+        f"ELSE regexp_replace(regexp_replace({seg}, "
+        f"'([A-Z]+)([A-Z][a-z])', '$1_$2'), '([a-z])([A-Z])', '$1_$2') END), "
+        f"t -> t != '')"
+    )
+    return F.expr(transform)
+
+
+# ---------------------------------------------------------------------------
+# main pipeline
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(
+    spark,
+    source: DataFrame,
+    commit_log: DataFrame | None = None,
+    assembly_refs: DataFrame | None = None,
+    pkg_metadata: DataFrame | None = None,
+    min_accessibility: str = "Private",
+    diff: DataFrame | None = None,
+    salt: int = 0,
+    ingest_commits: bool = True,
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Returns {'nodes', 'edges', 'files', 'symbols', 'records'}.
+
+    min_accessibility follows the reference option (default NotApplicable
+    disables guard-A handlers; 'Private' emits everything — used for the
+    full-graph runs)."""
+    min_acc = ACC_ORDER[min_accessibility]
+
+    files_src = discover(source)
+    files_src = apply_diff_filter(files_src, diff)
+
+    # pre-scans (small dims, driver-collected, closed over by the UDF stage)
+    ts_projects = scan_ts_projects(files_src)
+    pkg_meta = {}
+    if pkg_metadata is not None:
+        for r in pkg_metadata.collect():
+            pkg_meta[(r["source"], r["pkg"])] = (r["homepage"], r["repository"],
+                                                 r["project_url"])
+
+    records = extract_records(files_src, min_acc, ts_projects, pkg_meta)
+    if persist:
+        records = records.persist()
+
+    raw_symbols = records.filter(F.col("rec") == "symbol")
+    symbols = canon.dedup_symbols(raw_symbols)
+
+    # --- files table (UpsertFile.cypher property set) ----------------------
+    overrides = (records.filter(F.col("rec") == "filemeta")
+                 .select("repo", "path", "file_namespace", "lang", "language",
+                         "technology"))
+    files = (
+        with_inferred_namespace(files_src)
+        .join(overrides, ["repo", "path"], "left")
+        .select(
+            "repo",
+            F.col("path").alias("key"),
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            "path",
+            F.coalesce(F.col("file_namespace"), F.col("inferred_namespace")).alias("namespace"),
+            F.sha2(F.col("content"), 256).alias("sha256"),  # P2 per-row invariant
+            F.coalesce(F.col("language"), F.lit("unknown")).alias("language"),
+            F.coalesce(F.col("technology"), F.lit("unknown")).alias("technology"),
+        )
+    )
+
+    # --- git metadata (A1/J9) ----------------------------------------------
+    if commit_log is not None:
+        stats = gitmeta.file_git_stats(commit_log)
+        files = (files.join(F.broadcast(stats), ["repo", "path"], "left"))
+        authored = gitmeta.authored_edges(files, stats)
+    else:
+        files = (files.withColumn("created", F.lit(None).cast("timestamp"))
+                 .withColumn("last_modified", F.lit(None).cast("timestamp"))
+                 .withColumn("commits", F.lit(None).cast("array<string>"))
+                 .withColumn("tags", F.array().cast("array<string>"))
+                 .withColumn("authors", F.lit(None).cast(
+                     "array<struct<name:string,first_commit:timestamp,"
+                     "last_commit:timestamp,commit_count:bigint>>")))
+        authored = None
+
+    # --- entity linking (J1/F9) --------------------------------------------
+    rels = records.filter(F.col("rec") == "rel").select(
+        "repo", "src_key", "dst_key", "rel_type")
+    resolved = link.resolve_mentions(records, symbols, salt=salt)
+    candidate_edges = rels.unionByName(
+        resolved.select("repo", "src_key", "dst_key", "rel_type"))
+    linked = link.link_edges(candidate_edges, symbols)
+
+    # --- structural edges ---------------------------------------------------
+    # DECLARES accumulates from every flushed symbol row (UpsertSymbols.cypher:20-22)
+    declares = (raw_symbols.select(
+        "repo", F.col("path").alias("src_key"),
+        F.lit(S.R_DECLARES).alias("rel_type"), F.col("key").alias("dst_key"))
+        .distinct())
+    has_file = files.select(
+        "repo", F.col("repo").alias("src_key"),
+        F.lit(S.R_HAS_FILE).alias("rel_type"), F.col("key").alias("dst_key"))
+
+    # HAS_TAG from every flushed symbol with a namespace (Neo4jFlushService.cs:90-94)
+    sym_tags = (
+        raw_symbols
+        .filter(F.col("namespace").isNotNull() & (F.trim(F.col("namespace")) != ""))
+        .select("repo", F.col("key").alias("src_key"),
+                F.explode(tags_expr("namespace")).alias("tag"))
+        .distinct()
+    )
+    has_tag = sym_tags.select(
+        "repo", "src_key", F.lit(S.R_HAS_TAG).alias("rel_type"),
+        F.col("tag").alias("dst_key"))
+
+    # --- dependencies (S7/J6/A2) + URLs (J7) --------------------------------
+    urls_rec = (records.filter(F.col("rec") == "url")
+                .select("repo", "url_dep_key", "url_key", "url_name").distinct())
+    if assembly_refs is not None:
+        deps = (assembly_refs.select(
+            "repo", F.concat(F.lit("pkg:"), F.col("name")).alias("key"),
+            "name", "version")
+            .dropDuplicates(["repo", "key"]).orderBy("key"))
+        dep_edges = deps.select(
+            "repo", F.col("repo").alias("src_key"),
+            F.lit(S.R_DEPENDS_ON).alias("rel_type"), F.col("key").alias("dst_key"))
+        has_url = (urls_rec.join(
+            deps.select("repo", F.col("key").alias("url_dep_key")),
+            ["repo", "url_dep_key"], "left_semi")
+            .select("repo", F.col("url_dep_key").alias("src_key"),
+                    F.lit(S.R_HAS_URL).alias("rel_type"),
+                    F.col("url_key").alias("dst_key")))
+    else:
+        deps = None
+        dep_edges = None
+        has_url = None
+
+    # --- commits (J5) --------------------------------------------------------
+    if ingest_commits and commit_log is not None:
+        commits, part_of, committed, modified, file_stubs = \
+            gitmeta.commit_nodes_and_edges(commit_log)
+        # deleted flag overwritten by commit ingestion (UpsertCommit.cypher:17-19)
+        files = (files.join(
+            file_stubs.select("repo", "path", F.col("deleted").alias("_del")),
+            ["repo", "path"], "left")
+            .withColumn("deleted", F.coalesce(F.col("_del"), F.lit(False)))
+            .drop("_del"))
+        stub_files = (
+            file_stubs.join(files.select("repo", "path"), ["repo", "path"], "left_anti")
+            .select("repo", F.col("path").alias("key"),
+                    F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+                    "path", "deleted"))
+    else:
+        commits = part_of = committed = modified = stub_files = None
+        files = files.withColumn("deleted", F.lit(False))
+
+    # --- node assembly -------------------------------------------------------
+    def empty_nodes():
+        return spark.createDataFrame([], S.NODES_SCHEMA)
+
+    def as_nodes(df: DataFrame | None, mapping: dict, label: str) -> DataFrame:
+        if df is None:
+            return empty_nodes()
+        cols = []
+        for f in S.NODES_SCHEMA.fields:
+            if f.name == "label":
+                cols.append(F.lit(label).alias("label"))
+            elif f.name == "bucket":
+                cols.append(F.pmod(F.xxhash64("repo"), F.lit(S.N_BUCKETS))
+                            .cast("int").alias("bucket"))
+            elif f.name in mapping:
+                cols.append(mapping[f.name].alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    c = F.col
+    project_nodes = as_nodes(
+        files.select("repo").distinct(),
+        {"repo": c("repo"), "key": c("repo"), "name": c("repo"),
+         "deleted": F.lit(False)}, S.L_PROJECT)
+    file_nodes_main = as_nodes(
+        files,
+        {"repo": c("repo"), "key": c("key"), "name": c("file_name"),
+         "fqn": c("path"), "namespace": c("namespace"),
+         "documentation": c("sha256"), "language": c("language"),
+         "technology": c("technology"), "deleted": c("deleted"),
+         "file_path": c("path")}, S.L_FILE)
+    file_nodes = file_nodes_main
+    if stub_files is not None:
+        file_nodes = file_nodes.unionByName(as_nodes(
+            stub_files,
+            {"repo": c("repo"), "key": c("key"), "name": c("file_name"),
+             "fqn": c("path"), "file_path": c("path"), "deleted": c("deleted")},
+            S.L_FILE))
+        file_nodes = canon.dedup_by_key(file_nodes, ["repo", "key"], ["label"])
+    symbol_nodes = as_nodes(
+        symbols,
+        {"repo": c("repo"), "key": c("key"), "name": c("name"),
+         "kind": c("kind"), "klass": c("klass"), "fqn": c("fqn"),
+         "accessibility": c("accessibility"), "file_key": c("path"),
+         "file_path": c("path"), "namespace": c("namespace"),
+         "start_line": c("start_line"), "end_line": c("end_line"),
+         "documentation": c("documentation"), "comments": c("comments"),
+         "version": c("version"), "language": c("language"),
+         "technology": c("technology"), "deleted": F.lit(False)}, S.L_SYMBOL)
+    dep_nodes = as_nodes(
+        deps, {"repo": c("repo"), "key": c("key"), "name": c("name"),
+               "version": c("version"), "deleted": F.lit(False)}, S.L_DEPENDENCY)
+    author_names = None
+    if authored is not None:
+        author_names = authored.select("repo", F.col("dst_key").alias("name"))
+        if committed is not None:
+            author_names = author_names.unionByName(
+                committed.select("repo", F.col("src_key").alias("name")))
+        author_names = author_names.distinct()
+    author_nodes = as_nodes(
+        author_names, {"repo": c("repo"), "key": c("name"), "name": c("name"),
+                       "deleted": F.lit(False)}, S.L_AUTHOR)
+    commit_nodes = as_nodes(
+        commits, {"repo": c("repo"), "key": c("key"),
+                  "name": c("author_name"), "documentation": c("message"),
+                  "date": c("date"), "deleted": F.lit(False)}, S.L_COMMIT)
+    tag_nodes = as_nodes(
+        sym_tags.select("repo", "tag").distinct(),
+        {"repo": c("repo"), "key": c("tag"), "name": c("tag"),
+         "deleted": F.lit(False)}, S.L_TAG)
+    # URL nodes are MERGEd before the dep MATCH -> all distinct urls persist
+    # (UpsertDependencyUrls.cypher:1-8)
+    url_nodes = as_nodes(
+        urls_rec.select("repo", "url_key", "url_name").distinct(),
+        {"repo": c("repo"), "key": c("url_key"), "name": c("url_name"),
+         "deleted": F.lit(False)}, S.L_URL)
+
+    nodes = project_nodes
+    for part in (file_nodes, symbol_nodes, dep_nodes, author_nodes,
+                 commit_nodes, tag_nodes, url_nodes):
+        nodes = nodes.unionByName(part)
+
+    # --- edge assembly -------------------------------------------------------
+    def as_edges(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        out = df
+        for name in ("first_commit", "last_commit", "commit_count"):
+            if name not in out.columns:
+                typ = "bigint" if name == "commit_count" else "timestamp"
+                out = out.withColumn(name, F.lit(None).cast(typ))
+        return out.select("repo", "src_key", "rel_type", "dst_key",
+                          "first_commit", "last_commit", "commit_count")
+
+    edge_parts = [as_edges(x) for x in (
+        linked, declares, has_file, authored, has_tag, dep_edges, has_url,
+        part_of, committed, modified) if x is not None]
+    edges = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.withColumn(
+        "bucket", F.pmod(F.xxhash64("repo"), F.lit(S.N_BUCKETS)).cast("int"))
+
+    return {
+        "nodes": nodes, "edges": edges, "files": files,
+        "symbols": symbols, "records": records, "linked": linked,
+    }
