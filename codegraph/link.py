@@ -46,14 +46,14 @@ def build_dictionaries(symbols: DataFrame):
     types = (
         cs.filter(F.col("kind") == "NamedType")
         .select(
-            "repo",
+            F.col("repo").alias("t_repo"),
             F.coalesce(F.col("namespace"), F.lit("")).alias("ns"),
             F.col("name"),
             F.col("key").alias("type_key"),
             F.expr("substring(fqn, 9)").alias("type_display"),  # strip 'global::'
         )
     )
-    nss = types.select("repo", "ns").distinct()
+    nss = types.select(F.col("t_repo").alias("n_repo"), "ns").distinct()
     methods = (
         cs.filter(F.col("kind") == "Method")
         .select(
@@ -61,9 +61,8 @@ def build_dictionaries(symbols: DataFrame):
             F.expr("substring(fqn, 9)").alias("display"),
             F.col("name"),
         )
-        .withColumn("paren", F.expr("instr(display, '(')"))
-        .withColumn("head", F.expr("substring(display, 1, paren - 2)"))
-        .withColumn("params", F.expr("substring(display, paren + 1, length(display) - paren - 1)"))
+        .withColumn("head", F.expr("substring_index(display, '(', 1)"))
+        .withColumn("params", F.regexp_extract("display", r"\((.*)\)$", 1))
         .withColumn("nparams", F.when(F.col("params") == "", F.lit(0))
                     .otherwise(F.size(F.split(F.col("params"), ","))))
     )
@@ -79,8 +78,8 @@ def build_dictionaries(symbols: DataFrame):
         .withColumn("lookup_name",
                     F.when(F.col("name") == ".ctor", F.lit("<ctor>"))
                     .otherwise(F.col("simple")))
-        .select("repo", "type_display", "lookup_name", "nparams",
-                F.col("key").alias("member_key"))
+        .select(F.col("repo").alias("mm_repo"), "type_display",
+                "lookup_name", "nparams", F.col("key").alias("member_key"))
     )
     return types, methods, nss
 
@@ -99,20 +98,22 @@ def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
         "*", F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
     )
     t = types
-    join_cond = [cands.repo == t.repo, cands.cand_ns == t.ns,
-                 F.col(name_col) == t.name]
+    join_cond = [F.col("repo") == F.col("t_repo"), F.col("cand_ns") == F.col("ns"),
+                 F.col(name_col) == F.col("name")]
     if salt > 0:
-        t = t.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-        cands = cands.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(salt)).cast("int"))
-        join_cond.append(cands["_salt"] == t["_salt"])
-    joined = cands.join(t, on=join_cond, how="inner").drop(t.repo)
+        t = t.withColumn("d_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        cands = cands.withColumn("m_salt",
+                                 F.pmod(F.xxhash64("path"), F.lit(salt)).cast("int"))
+        join_cond.append(F.col("m_salt") == F.col("d_salt"))
+    joined = cands.join(t, on=join_cond, how="inner") \
+        .drop("t_repo", "ns", "name")
     if salt > 0:
-        joined = joined.drop("_salt")
+        joined = joined.drop("m_salt", "d_salt")
     w = Window.partitionBy(*_MENTION_ID_COLS).orderBy("prio")
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "prio", "cand_ns", "ns", "name")
+        .drop("rn", "prio", "cand_ns")
         .withColumnRenamed("type_key", "t_key")
         .withColumnRenamed("type_display", "t_display")
     )
@@ -145,34 +146,34 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                         "m_name", salt)
     ctors = members.filter(F.col("lookup_name") == "<ctor>")
     ctor_edges = _as_edge(
-        cm.join(ctors, on=[cm.repo == ctors.repo,
-                           cm.t_display == ctors.type_display,
-                           cm.m_nargs == ctors.nparams], how="inner")
-        .drop(ctors.repo), "member_key")
+        cm.join(ctors, on=[F.col("repo") == F.col("mm_repo"),
+                           F.col("t_display") == F.col("type_display"),
+                           F.col("m_nargs") == F.col("nparams")], how="inner"),
+        "member_key")
 
     # --- own-type invocations: m_recv already holds the type display --------
     im = mentions.filter(F.col("m_kind") == "invoke")
     own_edges = _as_edge(
-        im.join(members, on=[im.repo == members.repo,
-                             im.m_recv == members.type_display,
-                             im.m_name == members.lookup_name], how="inner")
-        .drop(members.repo), "member_key")
+        im.join(members, on=[F.col("repo") == F.col("mm_repo"),
+                             F.col("m_recv") == F.col("type_display"),
+                             F.col("m_name") == F.col("lookup_name")], how="inner"),
+        "member_key")
 
     # --- field-receiver / static-receiver invocations: resolve the receiver
     #     token to a type, then the member by name --------------------------
     vm = mentions.filter(F.col("m_kind").isin("invoke_via", "invoke_static"))
     vm_t = _resolve_types(vm, types, "m_recv", salt)
     via_edges = _as_edge(
-        vm_t.join(members, on=[vm_t.repo == members.repo,
-                               vm_t.t_display == members.type_display,
-                               vm_t.m_name == members.lookup_name], how="inner")
-        .drop(members.repo), "member_key")
+        vm_t.join(members, on=[F.col("repo") == F.col("mm_repo"),
+                               F.col("t_display") == F.col("type_display"),
+                               F.col("m_name") == F.col("lookup_name")], how="inner"),
+        "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
     #     namespaces are same-assembly => no edge (RoslynSymbolProcessor.cs:47-65)
     um = mentions.filter(F.col("m_kind") == "using")
     ext_using = (
-        um.join(nss, on=[um.repo == nss.repo, um.m_name == nss.ns], how="left_anti")
+        um.join(nss, on=[um.repo == nss.n_repo, um.m_name == nss.ns], how="left_anti")
         .select("repo", F.col("m_from_key").alias("src_key"),
                 F.col("m_rel").alias("rel_type"),
                 F.concat(F.col("repo"), F.lit(":"), F.col("m_name")).alias("dst_key"))

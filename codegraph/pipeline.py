@@ -116,28 +116,30 @@ def run_pipeline(
     salt: int = 0,
     ingest_commits: bool = True,
     persist: bool = True,
+    records: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {'nodes', 'edges', 'files', 'symbols', 'records'}.
 
     min_accessibility follows the reference option (default NotApplicable
     disables guard-A handlers; 'Private' emits everything — used for the
-    full-graph runs)."""
+    full-graph runs). Pass ``records`` (a checkpointed extraction output) to
+    skip re-extraction on resume."""
     min_acc = ACC_ORDER[min_accessibility]
 
     files_src = discover(source)
     files_src = apply_diff_filter(files_src, diff)
 
-    # pre-scans (small dims, driver-collected, closed over by the UDF stage)
-    ts_projects = scan_ts_projects(files_src)
-    pkg_meta = {}
-    if pkg_metadata is not None:
-        for r in pkg_metadata.collect():
-            pkg_meta[(r["source"], r["pkg"])] = (r["homepage"], r["repository"],
-                                                 r["project_url"])
-
-    records = extract_records(files_src, min_acc, ts_projects, pkg_meta)
-    if persist:
-        records = records.persist()
+    if records is None:
+        # pre-scans (small dims, driver-collected, closed over by the UDF stage)
+        ts_projects = scan_ts_projects(files_src)
+        pkg_meta = {}
+        if pkg_metadata is not None:
+            for r in pkg_metadata.collect():
+                pkg_meta[(r["source"], r["pkg"])] = (
+                    r["homepage"], r["repository"], r["project_url"])
+        records = extract_records(files_src, min_acc, ts_projects, pkg_meta)
+        if persist:
+            records = records.persist()
 
     raw_symbols = records.filter(F.col("rec") == "symbol")
     symbols = canon.dedup_symbols(raw_symbols)
