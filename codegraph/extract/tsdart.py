@@ -40,12 +40,12 @@ _TS_FUNC_RE = re.compile(r"^(?:export\s+)?(?:async\s+)?function\s+(?P<name>\w+)\
 _TS_ARROW_RE = re.compile(r"^(?:export\s+)?const\s+(?P<name>\w+)\s*=\s*(?:async\s*)?\([^)]*\)?\s*=>|"
                           r"^(?:export\s+)?const\s+(?P<name2>\w+)\s*=\s*\(\)\s*=>", re.MULTILINE)
 _TS_FIELD_RE = re.compile(
-    r"^\s+(?P<acc>private|protected|public)?\s*(?:readonly\s+)?(?P<name>\w+)\s*:\s*[\w.<>\[\]]+\s*(?:=[^;]*)?;",
+    r"^[ \t]+(?P<acc>private|protected|public)?[ \t]*(?:readonly\s+)?(?P<name>\w+)\s*:\s*[\w.<>\[\]]+\s*(?:=[^;]*)?;",
     re.MULTILINE)
-_TS_CTOR_RE = re.compile(r"^\s+constructor\s*\(", re.MULTILINE)
-_TS_GETTER_RE = re.compile(r"^\s+(?P<acc>private|protected|public)?\s*get\s+(?P<name>\w+)\s*\(", re.MULTILINE)
+_TS_CTOR_RE = re.compile(r"^[ \t]+constructor\s*\(", re.MULTILINE)
+_TS_GETTER_RE = re.compile(r"^[ \t]+(?P<acc>private|protected|public)?[ \t]*get\s+(?P<name>\w+)\s*\(", re.MULTILINE)
 _TS_METHOD_RE = re.compile(
-    r"^\s+(?P<acc>private|protected|public)?\s*(?:async\s+)?(?P<name>\w+)\s*\([^)]*\)\s*:\s*[\w.<>\[\]]+\s*\{",
+    r"^[ \t]+(?P<acc>private|protected|public)?[ \t]*(?:async\s+)?(?P<name>\w+)\s*\([^)]*\)\s*:\s*[\w.<>\[\]]+\s*\{",
     re.MULTILINE)
 _TS_CALL_RE = re.compile(r"(?:this\.)?(\w+)\s*\(")
 _TS_NEW_RE = re.compile(r"\bnew\s+(\w+)\s*\(")
@@ -240,9 +240,9 @@ _DART_TYPEDEF_RE = re.compile(r"^typedef\s+(?P<name>\w+)\s*=", re.MULTILINE)
 _DART_FUNC_RE = re.compile(r"^(?P<ret>[\w<>]+)\s+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
 _DART_TOPVAR_RE = re.compile(r"^(?:final|const)\s+[\w<>]+\s+(?P<name>_?\w+)\s*=", re.MULTILINE)
 _DART_TOPGET_RE = re.compile(r"^[\w<>]+\s+get\s+(?P<name>_?\w+)\s*(?:=>|\{)", re.MULTILINE)
-_DART_FIELD_RE = re.compile(r"^\s+(?:final\s+|const\s+|late\s+)?(?P<type>[\w<>]+)\s+(?P<name>_?\w+)\s*(?:=[^;]*)?;", re.MULTILINE)
-_DART_GETTER_RE = re.compile(r"^\s+[\w<>]+\s+get\s+(?P<name>_?\w+)\s*=>", re.MULTILINE)
-_DART_METHOD_RE = re.compile(r"^\s+(?P<ret>[\w<>]+)\s+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
+_DART_FIELD_RE = re.compile(r"^[ \t]+(?:final\s+|const\s+|late\s+)?(?P<type>[\w<>]+)[ \t]+(?P<name>_?\w+)\s*(?:=[^;]*)?;", re.MULTILINE)
+_DART_GETTER_RE = re.compile(r"^[ \t]+[\w<>]+[ \t]+get[ \t]+(?P<name>_?\w+)\s*=>", re.MULTILINE)
+_DART_METHOD_RE = re.compile(r"^[ \t]+(?P<ret>[\w<>]+)[ \t]+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
 _DART_CALL_RE = re.compile(r"(\w+)\.(\w+)\s*\(|(?<![\w.])(\w+)\s*\(")
 
 
@@ -312,7 +312,7 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
             gl = _line_of(content, boff + gm.start())
             sym("DartProperty", gm.group("name"), "property", gl)
             em.rel(cls_tok, keys.text_key(file_key, "property", gm.group("name"), gl), R_CONTAINS)
-        ctor = re.search(rf"^\s+{name}\s*\(", body, re.MULTILINE)
+        ctor = re.search(rf"^[ \t]+{name}\s*\(", body, re.MULTILINE)
         if ctor:
             cl = _line_of(content, boff + ctor.start())
             sym("DartConstructor", name, "constructor", cl)

@@ -1,0 +1,104 @@
+"""Similarity search over the ``embeddings`` table (array<float> dim-64).
+
+* ``cosine_topk`` — exact brute-force top-k: query-set broadcast against the
+  corpus, dot products as Catalyst ``aggregate``/``zip_with`` expressions
+  (JVM-side, no Python). This is the correctness baseline and the oracle twin.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH bucketing; only
+  same-bucket (any of T tables) pairs are scored. At 100 TB the bucket join
+  replaces the |Q| x |N| cross product; recall is tested vs brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Top-k cosine neighbors for the first ``n_queries`` vec_ids.
+    cosine = dot(q, v) / sqrt(dot(q, q) * dot(v, v)), rounded to 6 dp BEFORE
+    ranking (deterministic cross-engine order); ties break on vec_id."""
+    emb = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    pairs = q.crossJoin(emb.select(F.col("vec_id"), F.col("embedding").alias("vv")))
+    pairs = pairs.filter(F.col("query_id") != F.col("vec_id"))
+    cos = F.round(
+        _dot("qv", "vv") / F.sqrt(_dot("qv", "qv") * _dot("vv", "vv")), 6)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, no RNG state)."""
+    import math
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = math.sin((table * 7919 + p * 131 + d) * 12.9898) * 43758.5453
+            row.append(x - math.floor(x) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                 n_planes: int = 6, n_tables: int = 8, dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH: signature per (table), candidates = same-bucket
+    pairs in ANY table, exact cosine rerank on candidates only."""
+    emb = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
+
+    def bucket_expr(table: int):
+        planes = _hyperplanes(dim, n_planes, table)
+        bits = []
+        for pi, plane in enumerate(planes):
+            arr = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(F.zip_with(F.col("embedding"), arr, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, v: acc + v)
+            bits.append(F.when(dot >= 0, F.lit(1 << pi)).otherwise(F.lit(0)))
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    buckets = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"), bucket_expr(t).alias("bucket"))
+            for t in range(n_tables)])).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket")
+
+    qb = buckets.filter(F.col("vec_id") < n_queries) \
+        .select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    cands = (qb.join(buckets, ["table", "bucket"])
+             .filter(F.col("query_id") != F.col("vec_id"))
+             .select("query_id", "vec_id").distinct())
+
+    q = emb.filter(F.col("vec_id") < n_queries) \
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    v = emb.select("vec_id", F.col("embedding").alias("vv"))
+    scored = (cands.join(q, "query_id").join(v, "vec_id")
+              .select("query_id", "vec_id",
+                      F.round(_dot("qv", "vv") /
+                              F.sqrt(_dot("qv", "qv") * _dot("vv", "vv")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))

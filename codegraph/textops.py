@@ -1,0 +1,236 @@
+"""Training-data pipeline operators over the ``documents`` table.
+
+Every operator is expressed with JVM-side ``pyspark.sql.functions`` (no
+Python UDFs in the hot path) and has a DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` built from the SAME primitive formulas, so the
+driver's hash compare is a real cross-engine check:
+
+* tokenization: ``lower(text)`` split on ``[^a-z0-9]+``
+* portable token hash: left-fold ``(acc*131 + ascii(char)) % 2147483647``
+  (31-bit polynomial rolling hash — overflow-safe in both engines)
+* shingles: word 3-grams joined by a single space
+
+Scale notes (100 TB): everything below is a scan + groupBy/join with
+map-side partial aggregation; the near-dup pipeline is LSH-banded so the
+candidate join is |bands| x |buckets| instead of |docs|^2; exact verification
+touches only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+HASH_MOD = 2147483647
+HASH_BASE = 131
+
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"]
+FR_STOP = ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"]
+ES_STOP = ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"]
+
+
+def tokens_col(text_col: str = "text"):
+    return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda t: t != "")
+
+
+def _token_hash_sql(tok_expr: str) -> str:
+    """31-bit polynomial rolling hash as a SQL expression (portable to
+    DuckDB's list_reduce with the identical formula)."""
+    return (f"aggregate(split({tok_expr}, ''), 0L, "
+            f"(acc, c) -> (acc * {HASH_BASE} + ascii(c)) % {HASH_MOD})")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy on the full text (first dedup stage at scale —
+# cheapest shuffle, run before any near-dup machinery)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    h = F.sha2(F.col("text"), 256).alias("text_sha")
+    with_h = docs.select("doc_id", h)
+    counts = with_h.groupBy("text_sha").agg(
+        F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
+    return (with_h.join(counts, "text_sha")
+            .select("doc_id", "text_sha", "dup_count", "canonical_id"))
+
+
+# ---------------------------------------------------------------------------
+# word-3-gram shingles + exact jaccard pairs (oracle-checkable ground truth)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    toks = tokens_col().alias("toks")
+    d = docs.select("doc_id", toks)
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n))))
+    return d.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram jaccard >= threshold via an inverted shingle index —
+    pairs sharing at least one shingle (never the full cross join), then
+    |A∩B| / (|A|+|B|-|A∩B|)."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup: banded prefilter -> exact verify (the scale path:
+# the exact-verify join runs only on LSH candidates, so the result EQUALS the
+# brute-force answer while the shuffle is banded-bucket-sized)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      bands: int = 16) -> DataFrame:
+    sh = shingles(docs)
+    h = F.expr(_token_hash_sql("shingle")).alias("h0")
+    sh_h = sh.select("doc_id", "shingle", h)
+    # k=bands permutation hashes: h_i = (a_i*h0 + b_i) mod p (universal family)
+    perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(bands)]
+    minhash_cols = [
+        F.min((F.col("h0") * a + b) % HASH_MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig = sh_h.groupBy("doc_id").agg(*minhash_cols)
+    # banding with r=1: each minhash value is its own band bucket
+    bands_df = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
+            for i in range(bands)
+        ])).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    candidates = (a.join(b, ["band", "bucket"])
+                  .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                  .select(F.col("a.doc_id").alias("id_a"),
+                          F.col("b.doc_id").alias("id_b"))
+                  .distinct())
+    exact = jaccard_pairs_for(docs, candidates)
+    return exact.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs_for(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact jaccard restricted to candidate pairs."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("doc_id", "id_a")
+    b = sh.withColumnRenamed("doc_id", "id_b")
+    inter = (candidates.join(a, "id_a").join(b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (31-bit, portable hash) — exact cross-engine parity
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
+    toks = (docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
+            .withColumn("h", F.expr(_token_hash_sql("tok"))))
+    bit = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h")
+    votes = (bit.withColumn(
+        "vote", (F.shiftright(F.col("h"), F.col("b").cast("int")) % 2) * 2 - 1)
+        .groupBy("doc_id", "b").agg(F.sum("vote").alias("v")))
+    return (votes.withColumn(
+        "bitval", F.when(F.col("v") >= 0,
+                         F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int")))
+        .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit heuristic), quality score, token counts,
+# fingerprint — all pure Catalyst expressions
+# ---------------------------------------------------------------------------
+
+
+def _stop_count(lst):
+    arr = F.array(*[F.lit(w) for w in lst])
+    return F.size(F.filter(tokens_col(), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    d = (docs.select(
+        "doc_id",
+        _stop_count(EN_STOP).alias("en_hits"),
+        _stop_count(DE_STOP).alias("de_hits"),
+        _stop_count(FR_STOP).alias("fr_hits"),
+        _stop_count(ES_STOP).alias("es_hits")))
+    best = F.greatest("en_hits", "de_hits", "fr_hits", "es_hits")
+    pred = (F.when(best == 0, F.lit("unknown"))
+            .when(F.col("en_hits") == best, F.lit("en"))
+            .when(F.col("de_hits") == best, F.lit("de"))
+            .when(F.col("fr_hits") == best, F.lit("fr"))
+            .otherwise(F.lit("es")))
+    return d.withColumn("pred_lang", pred)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    toks = tokens_col()
+    n_chars = F.length("text")
+    n_words = F.size(toks)
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    stop = _stop_count(EN_STOP)
+    mean_len = F.round(
+        F.when(n_words > 0,
+               F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t)).cast("double") / n_words)
+        .otherwise(F.lit(0.0)), 4)
+    score = F.round(
+        F.when(n_words > 0, F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
+               + (stop.cast("double") / n_words) * 0.3
+               + F.when(punct / n_chars < 0.1, 0.2).otherwise(0.0))
+        .otherwise(0.0), 4)
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
+        punct.alias("n_punct"), stop.alias("en_stopwords"),
+        mean_len.alias("mean_word_len"), score.alias("quality"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe_ish = F.expr(
+        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]', 0))")
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe_ish.alias("bpe_tokens"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: sha256 of the whitespace-normalized lowercase
+    text (stable content identity across formatting)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
