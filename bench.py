@@ -1,0 +1,115 @@
+"""Benchmark harness.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": "...",
+   "scaling": {"thr_lo": ..., "thr_hi": ..., "efficiency": ...}}
+
+The scaling block is the sandbox stand-in for the N-vs-4N-executor rule
+(BASELINE.json north_rule): the same KG pipeline job runs at local[N/4] and
+local[N] over the identical fixture input; efficiency =
+(thr_hi / thr_lo) / 4. Set SPARK_GRAFT_SKIP_SCALING=1 to skip that block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_kg_pipeline(spark, fixture_dir: str):
+    from codegraph import pipeline as P
+
+    src = spark.read.parquet(os.path.join(fixture_dir, "source_files.parquet"))
+    cl = spark.read.parquet(os.path.join(fixture_dir, "commit_log.parquet"))
+    ar = spark.read.parquet(os.path.join(fixture_dir, "assembly_refs.parquet"))
+    pm = spark.read.parquet(os.path.join(fixture_dir, "pkg_metadata.parquet"))
+    res = P.run_pipeline(spark, src, commit_log=cl, assembly_refs=ar,
+                         pkg_metadata=pm, persist=True)
+    n_edges = res["edges"].count()
+    n_nodes = res["nodes"].count()
+    res["records"].unpersist()
+    return n_nodes, n_edges
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+    from codegraph import gen
+    from codegraph.session import get_spark
+
+    spark = get_spark(app_name="codegraph-bench", cores=cpus)
+    fixture_dir = (E._ensure_bench_fixture(spark) if sf_name == "sf0.1"
+                   else gen.ensure_fixture_local(gen.sf_name_from_dir(sf_dir)))
+
+    queries = {}
+
+    # headline 1: full KG pipeline (extraction -> linking -> materialized
+    # node/edge tables) on the synthetic source corpus at this sf
+    log(f"bench: kg_pipeline over {fixture_dir}")
+    t, (n_nodes, n_edges) = timed(lambda: run_kg_pipeline(spark, fixture_dir))
+    queries["kg_pipeline"] = round(t, 3)
+    triples_per_sec = round((n_nodes + n_edges) / t, 1)
+    log(f"bench: kg_pipeline {n_nodes} nodes + {n_edges} edges in {t:.1f}s "
+        f"-> {triples_per_sec} triples/s")
+
+    # headline 2-7: training-data + relational operators on the driver tables
+    qs = E.queries()
+    for name in ("doc_minhash_lsh", "doc_simhash", "doc_langid",
+                 "emb_cosine_topk", "rel_broadcast_join", "rel_groupby_stats"):
+        t, _ = timed(lambda: qs[name](spark, sf_dir).count())
+        queries[name] = round(t, 3)
+        log(f"bench: {name} {t:.2f}s")
+
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        # two-parallelism scaling evidence (N vs 4N stand-in)
+        spark.stop()
+        lo, hi = max(2, cpus // 4), cpus
+        thr = {}
+        for n in (lo, hi):
+            s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
+            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, fixture_dir))
+            thr[n] = (nn + ne) / t
+            log(f"bench: scaling local[{n}] -> {t:.1f}s, {thr[n]:.0f} triples/s")
+            s.stop()
+        efficiency = round((thr[hi] / thr[lo]) / (hi / lo), 3)
+        scaling = {"cores_lo": lo, "cores_hi": hi,
+                   "thr_lo": round(thr[lo], 1), "thr_hi": round(thr[hi], 1),
+                   "efficiency": efficiency}
+        log(f"bench: scaling efficiency {efficiency}")
+
+    out = {
+        "metric": "triples_per_sec",
+        "value": triples_per_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "nodes": n_nodes,
+        "edges": n_edges,
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -605,10 +605,15 @@ def commit_log_table(spark, n_repos: int, files_per_repo: int, seed: int = SEED)
 FIXTURE_ROOT = "/root/repo/fixtures"
 
 
-def ensure_fixture(spark, sf_name: str, root: str = FIXTURE_ROOT) -> str:
-    """Write (once) the parquet fixture for an sf tier; returns its dir.
-    DuckDB oracles read the same parquet via read_parquet()."""
+def ensure_fixture_local(sf_name: str, root: str = FIXTURE_ROOT) -> str:
+    """Write (once, Spark-free) the parquet fixture for an sf tier; returns
+    its dir. Both the Spark queries and the DuckDB oracles read these files,
+    so generation must not require a SparkSession. Single-file parquet via
+    pyarrow; deterministic, so concurrent/re-runs converge."""
     import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     n_repos, fpr = SF_SPECS[sf_name]
     out = os.path.join(root, sf_name)
@@ -616,14 +621,32 @@ def ensure_fixture(spark, sf_name: str, root: str = FIXTURE_ROOT) -> str:
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    source_table(spark, n_repos, fpr).write.mode("overwrite").parquet(
-        os.path.join(out, "source_files.parquet"))
-    commit_log_table(spark, n_repos, fpr).write.mode("overwrite").parquet(
-        os.path.join(out, "commit_log.parquet"))
-    spark.createDataFrame(gen_assembly_refs_pdf(n_repos)).write.mode("overwrite").parquet(
-        os.path.join(out, "assembly_refs.parquet"))
-    spark.createDataFrame(gen_pkg_metadata_pdf()).write.mode("overwrite").parquet(
-        os.path.join(out, "pkg_metadata.parquet"))
+
+    src = pd.concat([gen_source_pdf(r, fpr) for r in range(n_repos)],
+                    ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(src, preserve_index=False),
+                   os.path.join(out, "source_files.parquet"))
+
+    cl = pd.concat([gen_commit_log_pdf(r, fpr) for r in range(n_repos)],
+                   ignore_index=True)
+    cl_schema = pa.schema([
+        ("repo", pa.string()), ("hash", pa.string()),
+        ("author_name", pa.string()), ("author_email", pa.string()),
+        ("date", pa.timestamp("us", tz="UTC")), ("message", pa.string()),
+        ("refs", pa.list_(pa.string())),
+        ("changed_files", pa.list_(pa.struct([
+            ("path", pa.string()), ("is_deleted", pa.bool_())]))),
+    ])
+    pq.write_table(pa.Table.from_pandas(cl, schema=cl_schema,
+                                        preserve_index=False),
+                   os.path.join(out, "commit_log.parquet"))
+
+    pq.write_table(pa.Table.from_pandas(gen_assembly_refs_pdf(n_repos),
+                                        preserve_index=False),
+                   os.path.join(out, "assembly_refs.parquet"))
+    pq.write_table(pa.Table.from_pandas(gen_pkg_metadata_pdf(),
+                                        preserve_index=False),
+                   os.path.join(out, "pkg_metadata.parquet"))
     with open(marker, "w") as f:
         f.write("ok\n")
     return out

@@ -1,0 +1,590 @@
+"""DuckDB oracle SQL for every oracle-checkable queries() entry.
+
+The KG oracles RE-DERIVE the answers from the same fixture parquet with an
+independent mechanism: per-line regex extraction over exploded content,
+window-tracked type context, and plain dictionary joins — no shared code
+with the Spark lexers. They lean on two generator guarantees that hold for
+the fixture corpus (documented in gen.py): member signatures sit at 4-space
+indent / bodies at 8-space, and class names are unique repo-wide.
+
+The doc/emb oracles mirror the Spark formulas primitive-for-primitive
+(same tokenization regex, same 31-bit rolling hash, same rounding) so the
+hash compare is a genuine cross-engine check.
+"""
+
+from __future__ import annotations
+
+import os
+
+from codegraph import gen
+
+FIX01 = os.path.join(gen.FIXTURE_ROOT, "sf0.01")
+SRC = f"read_parquet('{FIX01}/source_files.parquet')"
+CL = f"read_parquet('{FIX01}/commit_log.parquet')"
+
+EXTS = (".cs", ".razor", ".xaml", ".js", ".ts", ".tsx", ".html", ".xml",
+        ".json", ".css", ".csproj", ".dart")
+EXCL = r"(^|/)(bin|obj|\.git|\.idea|node_modules|\.dart_tool|build)/"
+
+DISC = f"""discovered AS (
+  SELECT repo, path, lang, content FROM {SRC}
+  WHERE NOT regexp_matches(path, '{EXCL}')
+    AND ({' OR '.join(f"lower(path) LIKE '%{e}'" for e in EXTS)}
+         OR lower(string_split(path, '/')[-1]) IN ('package.json', 'pubspec.yaml'))
+)"""
+
+# exploded per-line view of C# files + their file-scoped namespace
+CS = """cs_files AS (
+  SELECT repo, path, content,
+         regexp_extract(content, 'namespace ([a-zA-Z0-9_.]+);', 1) AS ns
+  FROM discovered WHERE lower(path) LIKE '%.cs'
+),
+cs_lines AS (
+  SELECT repo, path, ns,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS ln
+  FROM cs_files
+)"""
+
+# window-tracked current type + member census (the SQL twin of the lexer)
+CS_CTX = r"""marks AS (
+  SELECT repo, path, ns, ln, line,
+         nullif(regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1), '') AS tdecl,
+         CASE WHEN regexp_matches(line, '^public enum ') THEN TRUE ELSE FALSE END AS is_enum_decl
+  FROM cs_lines
+),
+ctx AS (
+  SELECT repo, path, ns, ln, line,
+         last_value(tdecl IGNORE NULLS)
+           OVER (PARTITION BY repo, path ORDER BY ln
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_type,
+         last_value(CASE WHEN tdecl IS NOT NULL THEN is_enum_decl END IGNORE NULLS)
+           OVER (PARTITION BY repo, path ORDER BY ln
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_is_enum
+  FROM marks
+),
+tdisp AS (
+  SELECT *, CASE WHEN ns = '' THEN cur_type ELSE ns || '.' || cur_type END AS type_display
+  FROM ctx WHERE cur_type IS NOT NULL
+),
+members AS (
+  -- fields
+  SELECT repo, path, ns, ln, type_display, 'Field' AS mkind,
+         regexp_extract(line, '^    private readonly (\w+) (_\w+);', 2) AS mdisp,
+         NULL AS ftype
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly \w+ _\w+;')
+  UNION ALL
+  -- enum members
+  SELECT repo, path, ns, ln, type_display, 'Field',
+         regexp_extract(line, '^    (\w+),?$', 1), NULL
+  FROM tdisp WHERE cur_is_enum AND regexp_matches(line, '^    \w+,?$')
+  UNION ALL
+  -- properties
+  SELECT repo, path, ns, ln, type_display, 'Property',
+         regexp_extract(line, '^    public (\w+) (\w+) \{ get; set; \}', 2), NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public \w+ \w+ \{ get; set; \}')
+  UNION ALL
+  -- events
+  SELECT repo, path, ns, ln, type_display, 'Event',
+         regexp_extract(line, '^    public event EventHandler (\w+);', 1), NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public event EventHandler \w+;')
+  UNION ALL
+  -- methods, ctors, interface members: name(paramTok, ...)
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?(\w+)\(([^)]*)\)[;]?$', 1)
+           || '(' ||
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(string_split(regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?(\w+)\(([^)]*)\)[;]?$', 2), ','),
+                           p -> trim(p) != ''),
+               p -> string_split(trim(p), ' ')[1]), ', '), '')
+           || ')', NULL
+  FROM tdisp
+  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\w+\([^)]*\)[;]?$')
+),
+member_keys AS (
+  SELECT repo, path, ns, ln, type_display, mkind,
+         type_display || '.' || mdisp AS member_display
+  FROM members WHERE mdisp IS NOT NULL AND mdisp != ''
+),
+cs_types AS (
+  SELECT repo, path, ns, ln,
+         regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1) AS name,
+         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1)
+              ELSE ns || '.' || regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1) END AS display
+  FROM cs_lines WHERE regexp_matches(line, '^public (?:class|interface|enum) \w+$')
+)"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["kg_discovery"] = f"WITH {DISC} SELECT repo, path, lang FROM discovered"
+
+ORACLES["kg_sha256"] = f"""WITH {DISC}
+SELECT repo, path, sha256(content) AS sha256 FROM discovered"""
+
+ORACLES["kg_file_namespace"] = f"""WITH {DISC},
+d AS (
+  SELECT repo, path,
+         CASE WHEN strpos(path, '/') > 0
+              THEN regexp_replace(path, '/[^/]*$', '') ELSE '' END AS dir
+  FROM discovered
+),
+dotted AS (SELECT repo, path, dir, replace(dir, '/', '.') AS dns FROM d)
+SELECT repo, path,
+  CASE WHEN regexp_matches(lower(path), '\\.(cs|razor|xaml)$') THEN
+    CASE WHEN lower(dns) LIKE 'src.%' THEN substr(dns, 5)
+         WHEN lower(dns) = 'src' THEN ''
+         WHEN lower(dns) LIKE 'source.%' THEN substr(dns, 8)
+         WHEN lower(dns) = 'source' THEN ''
+         ELSE dns END
+  ELSE dir END AS namespace
+FROM dotted"""
+
+ORACLES["kg_csharp_types"] = f"""WITH {DISC}, {CS}
+SELECT repo, path,
+       regexp_extract(line, '^public (?:class|interface|enum) (\\w+)$', 1) AS name,
+       repo || ':' || CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:class|interface|enum) (\\w+)$', 1)
+                           ELSE ns || '.' || regexp_extract(line, '^public (?:class|interface|enum) (\\w+)$', 1) END AS key,
+       ln AS start_line
+FROM cs_lines
+WHERE regexp_matches(line, '^public (?:class|interface|enum) \\w+$')"""
+
+ORACLES["kg_csharp_member_counts"] = f"""WITH {DISC},
+lines AS (
+  SELECT repo, path, string_split(content, chr(10)) AS ls,
+         regexp_matches(content, 'public enum ') AS has_enum
+  FROM discovered WHERE lower(path) LIKE '%.cs'
+)
+SELECT repo, path,
+  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$'))) AS n_methods,
+  len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ \\w+ \\{{ get; set; \\}}$'))) AS n_properties,
+  len(list_filter(ls, l -> regexp_matches(l, '^    private readonly \\w+ _\\w+;$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    \\w+,?$'))) AS n_fields,
+  len(list_filter(ls, l -> regexp_matches(l, '^    public event EventHandler \\w+;$'))) AS n_events
+FROM lines"""
+
+ORACLES["kg_dependencies"] = f"""WITH {DISC},
+csproj AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, '<PackageReference Include="([^"]+)" Version="[^"]+" />', 1)) AS name,
+         unnest(regexp_extract_all(content, '<PackageReference Include="[^"]+" Version="([^"]+)" />', 1)) AS version
+  FROM discovered WHERE lower(path) LIKE '%.csproj'
+),
+pkgjson AS (
+  SELECT repo, path, unnest(json_keys(content, '$.dependencies')) AS name,
+         'dependencies' AS sec
+  FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'package.json'
+  UNION ALL
+  SELECT repo, path, unnest(json_keys(content, '$.devDependencies')), 'devDependencies'
+  FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'package.json'
+),
+pkgjson_v AS (
+  SELECT p.repo, p.path, p.name,
+         json_extract_string(d.content, '$.' || p.sec || '."' || p.name || '"') AS version
+  FROM pkgjson p JOIN discovered d ON p.repo = d.repo AND p.path = d.path
+),
+pub AS (
+  SELECT repo, path,
+         regexp_extract(l, '^  ([a-z_0-9]+): (.+)$', 1) AS name,
+         regexp_extract(l, '^  ([a-z_0-9]+): (.+)$', 2) AS version
+  FROM (SELECT repo, path, unnest(string_split(content, chr(10))) AS l
+        FROM discovered
+        WHERE lower(string_split(path, '/')[-1]) = 'pubspec.yaml')
+  WHERE regexp_matches(l, '^  [a-z_0-9]+: .+$')
+    AND regexp_extract(l, '^  ([a-z_0-9]+):', 1) != 'sdk'
+)
+SELECT repo, path, 'pkg:' || name AS dep_key, name, version FROM csproj
+UNION ALL
+SELECT repo, path, 'pkg:' || name, name, version FROM pkgjson_v
+UNION ALL
+SELECT repo, path, 'pkg:' || name, name, version FROM pub"""
+
+ORACLES["kg_css_selectors"] = f"""WITH {DISC},
+raw AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, '([^{{]+)\\{{', 1)) AS sel
+  FROM discovered WHERE lower(path) LIKE '%.css'
+),
+trimmed AS (
+  SELECT repo, path, regexp_replace(regexp_replace(sel, '^\\s+', ''), '\\s+$', '') AS selector
+  FROM raw
+)
+SELECT repo, path, selector FROM trimmed
+WHERE selector != '' AND selector NOT LIKE '@%'"""
+
+ORACLES["kg_html"] = f"""WITH {DISC},
+lines AS (
+  SELECT repo, path, unnest(string_split(content, chr(10))) AS l,
+         generate_subscripts(string_split(content, chr(10)), 1) AS ln
+  FROM discovered WHERE lower(path) LIKE '%.html'
+)
+SELECT repo, path, 'HtmlScriptReference' AS kind,
+       regexp_extract(l, '<script\\s+.*?src=[''"](.*?)[''"]', 1) AS name,
+       ln AS start_line
+FROM lines WHERE regexp_matches(l, '<script\\s+.*?src=[''"]')
+UNION ALL
+SELECT repo, path, 'HtmlElementId',
+       regexp_extract(l, 'id=[''"](.*?)[''"]', 1), ln
+FROM lines WHERE regexp_matches(l, 'id=[''"]')"""
+
+# generated config JSON is exactly 3 levels deep with arrays of flat objects
+# at level 1 (gen._render_json) — enumerated level-by-level
+ORACLES["kg_json_properties"] = f"""WITH {DISC},
+js AS (
+  SELECT repo, path, content FROM discovered
+  WHERE lower(path) LIKE '%.json'
+    AND lower(string_split(path, '/')[-1]) != 'package.json'
+),
+l1 AS (SELECT repo, path, content, unnest(json_keys(content)) AS k1 FROM js),
+l2 AS (
+  SELECT repo, path, content, k1, unnest(json_keys(content, '$."' || k1 || '"')) AS k2
+  FROM l1 WHERE json_type(content, '$."' || k1 || '"') = 'OBJECT'
+),
+l3 AS (
+  SELECT repo, path, content, k1, k2,
+         unnest(json_keys(content, '$."' || k1 || '"."' || k2 || '"')) AS k3
+  FROM l2 WHERE json_type(content, '$."' || k1 || '"."' || k2 || '"') = 'OBJECT'
+),
+arr AS (
+  SELECT repo, path, content, k1,
+         unnest(range(0, json_array_length(content, '$."' || k1 || '"')::BIGINT)) AS idx
+  FROM l1 WHERE json_type(content, '$."' || k1 || '"') = 'ARRAY'
+),
+arrkeys AS (
+  SELECT repo, path, k1, idx,
+         unnest(json_keys(content, '$."' || k1 || '"[' || idx || ']')) AS ka
+  FROM arr
+)
+SELECT repo, path, k1 AS fqn FROM l1
+UNION ALL SELECT repo, path, k1 || '.' || k2 FROM l2
+UNION ALL SELECT repo, path, k1 || '.' || k2 || '.' || k3 FROM l3
+UNION ALL SELECT repo, path, k1 || '[' || idx || '].' || ka FROM arrkeys"""
+
+ORACLES["kg_razor_directives"] = f"""WITH {DISC},
+lines AS (
+  SELECT repo, path, unnest(string_split(content, chr(10))) AS l
+  FROM discovered WHERE lower(path) LIKE '%.razor'
+),
+d AS (
+  SELECT repo, path,
+         CASE WHEN l LIKE '@using %' THEN 'UsingDirective'
+              WHEN l LIKE '@inject %' THEN 'InjectDirective'
+              WHEN l LIKE '@model %' THEN 'ModelDirective'
+              ELSE 'InheritsDirective' END AS kind,
+         trim(regexp_extract(l, '^@(?:using|inject|model|inherits)\\s+(.+)$', 1)) AS name
+  FROM lines WHERE regexp_matches(l, '^@(?:using|inject|model|inherits)\\s+(.+)$')
+)
+SELECT repo, path, kind, name, path || ':' || kind || ':' || name AS key FROM d"""
+
+ORACLES["kg_xml_counts"] = f"""WITH {DISC}
+SELECT repo, path,
+       len(regexp_extract_all(content, '<(\\w+)', 1)) AS n_elements,
+       len(regexp_extract_all(content, '(\\w+)="', 1)) AS n_attributes
+FROM discovered
+WHERE lower(path) LIKE '%.xml' AND lower(path) NOT LIKE '%.csproj'"""
+
+ORACLES["kg_tags"] = f"""WITH {DISC},
+ns AS (
+  SELECT DISTINCT repo,
+         regexp_extract(content, 'namespace ([a-zA-Z0-9_.]+);', 1) AS n
+  FROM discovered WHERE lower(path) LIKE '%.cs'
+    AND regexp_matches(content, 'namespace [a-zA-Z0-9_.]+;')
+),
+segs AS (SELECT repo, unnest(string_split(n, '.')) AS seg FROM ns)
+SELECT DISTINCT repo,
+  CASE WHEN seg IN ('DotNet', 'iOS') THEN seg
+       ELSE regexp_replace(regexp_replace(seg, '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+                           '([a-z])([A-Z])', '\\1_\\2', 'g') END AS tag
+FROM segs WHERE seg != ''"""
+
+ORACLES["kg_authors"] = f"""WITH ch AS (
+  SELECT repo, author_name, date, unnest(changed_files) AS cf FROM {CL}
+)
+SELECT repo, cf.path AS path, author_name AS author,
+       (epoch_ms(min(date)) // 1000) AS first_commit_s,
+       (epoch_ms(max(date)) // 1000) AS last_commit_s,
+       count(*) AS commit_count
+FROM ch GROUP BY repo, cf.path, author_name"""
+
+ORACLES["kg_file_tags"] = f"""WITH ch AS (
+  SELECT repo, refs, unnest(changed_files) AS cf FROM {CL}
+),
+r AS (SELECT repo, cf.path AS path, unnest(refs) AS ref FROM ch)
+SELECT DISTINCT repo, path, trim(substr(ref, 5)) AS tag
+FROM r WHERE lower(ref) LIKE 'tag:%'"""
+
+ORACLES["kg_commit_stats"] = f"""SELECT repo, count(*) AS n_commits,
+       count(DISTINCT author_name) AS n_authors,
+       (epoch_ms(min(date)) // 1000) AS first_s,
+       (epoch_ms(max(date)) // 1000) AS last_s
+FROM {CL} GROUP BY repo"""
+
+ORACLES["kg_contains_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX}
+SELECT DISTINCT repo, repo || ':' || type_display AS src_key,
+       repo || ':' || member_display AS dst_key
+FROM member_keys"""
+
+ORACLES["kg_invokes_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX},
+-- enclosing-method context for body lines
+msig AS (
+  SELECT repo, path, ln, type_display, member_display
+  FROM member_keys WHERE mkind = 'Method'
+),
+body AS (
+  SELECT t.repo, t.path, t.ns, t.ln, t.line, t.type_display,
+         (SELECT max_by(m.member_display, m.ln) FROM msig m
+          WHERE m.repo = t.repo AND m.path = t.path AND m.ln <= t.ln) AS cur_method
+  FROM tdisp t WHERE regexp_matches(t.line, '^        ')
+),
+fields AS (
+  SELECT repo, path, regexp_extract(line, '^    private readonly (\\w+) _dep;', 1) AS ftype
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly \\w+ _dep;')
+),
+calls AS (
+  -- _dep.Run()
+  SELECT b.repo, b.path, b.cur_method, b.type_display,
+         f.ftype AS callee_type_name, 'Run()' AS callee_sig
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Run\\(\\);$')
+  UNION ALL
+  -- this.Run() / Run()
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        (this\\.)?Run\\(\\);$')
+  UNION ALL
+  -- new X()
+  SELECT repo, path, cur_method, type_display,
+         regexp_extract(line, '^        var made = new (\\w+)\\(\\);$', 1),
+         regexp_extract(line, '^        var made = new (\\w+)\\(\\);$', 1) || '()'
+  FROM body WHERE regexp_matches(line, '^        var made = new \\w+\\(\\);$')
+),
+resolved AS (
+  SELECT c.repo, c.path, c.cur_method, c.type_display, c.callee_sig,
+         CASE WHEN c.callee_type_name IS NULL THEN c.type_display
+              ELSE t.display END AS callee_type
+  FROM calls c
+  LEFT JOIN cs_types t ON t.repo = c.repo AND t.name = c.callee_type_name
+  WHERE c.callee_type_name IS NULL OR t.name IS NOT NULL
+),
+edges AS (
+  SELECT r.repo,
+         r.repo || ':' || r.cur_method AS src_key,  -- member_display is fully qualified
+         r.repo || ':' || r.callee_type || '.' || r.callee_sig AS dst_key
+  FROM resolved r
+  -- dangling drop: callee member must exist as a symbol
+  JOIN member_keys mk ON mk.repo = r.repo
+    AND mk.member_display = r.callee_type || '.' || r.callee_sig
+)
+SELECT DISTINCT repo, src_key, dst_key FROM edges"""
+
+ORACLES["kg_depends_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX},
+tokens AS (
+  -- field type
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    private readonly (\\w+) _\\w+;', 1) AS tok
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly \\w+ _\\w+;')
+  UNION ALL
+  -- property type (skip builtins)
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    public (\\w+) \\w+ \\{{ get; set; \\}}', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public \\w+ \\w+ \\{{ get; set; \\}}')
+  UNION ALL
+  -- method/ctor parameter types
+  SELECT repo, path, type_display,
+         string_split(trim(p.p), ' ')[1]
+  FROM tdisp,
+       unnest(list_filter(string_split(
+         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\(([^)]*)\\)[;]?$', 1), ','),
+         x -> trim(x) != '')) AS p(p)
+  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$')
+),
+inrepo AS (
+  SELECT DISTINCT tk.repo,
+         tk.repo || ':' || tk.type_display AS src_key,
+         tk.repo || ':' || t.display AS dst_key
+  FROM tokens tk
+  JOIN cs_types t ON t.repo = tk.repo AND t.name = tk.tok
+  WHERE tk.tok NOT IN ('int', 'double', 'string', 'void', 'bool', 'long')
+)
+SELECT repo, src_key, dst_key FROM inrepo"""
+
+ORACLES["kg_cc"] = f"""WITH RECURSIVE {DISC}, {CS}, {CS_CTX},
+e AS (
+  SELECT repo || chr(30) || repo || ':' || type_display AS src,
+         repo || chr(30) || repo || ':' || member_display AS dst
+  FROM member_keys
+),
+e2 AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM e2),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e2.b FROM reach JOIN e2 ON reach.r = e2.a
+)
+SELECT node, min(r) AS comp FROM reach GROUP BY node"""
+
+# --- relational analogs (driver-registered TPC-H views) ----------------------
+
+ORACLES["rel_lastwrite_dedup"] = """WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, (epoch_ms(o_orderdate) // 1000) AS o_date_s
+FROM r WHERE rn = 1"""
+
+ORACLES["rel_semi_join"] = """SELECT l_returnflag, count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag"""
+
+ORACLES["rel_anti_join"] = """SELECT c_mktsegment, count(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment"""
+
+ORACLES["rel_groupby_stats"] = """SELECT user_id % 100 AS user_bucket, event_type,
+       count(*) AS n,
+       (epoch_ms(min(ts)) // 1000) AS min_ts_s,
+       (epoch_ms(max(ts)) // 1000) AS max_ts_s,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+ORACLES["rel_broadcast_join"] = """SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand"""
+
+# --- training-data operators (documents / embeddings views) -------------------
+
+_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+         "t -> t != '')")
+# 31-bit polynomial rolling hash over characters (same formula as
+# codegraph.textops._token_hash_sql)
+_HASH = ("list_reduce(list_prepend(0::BIGINT, list_transform("
+         "list_filter(string_split({col}, ''), c -> c != ''), "
+         "c -> ascii(c)::BIGINT)), (a, b) -> (a * 131 + b) % 2147483647)")
+
+_SHINGLES = f"""toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN
+    list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+    ELSE [] END)) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+_JACCARD_PAIRS = f"""WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5"""
+
+ORACLES["doc_exact_dedup"] = """WITH h AS (
+  SELECT doc_id, sha256(text) AS text_sha FROM documents
+),
+c AS (SELECT text_sha, count(*) AS dup_count, min(doc_id) AS canonical_id
+      FROM h GROUP BY text_sha)
+SELECT h.doc_id, h.text_sha, c.dup_count, c.canonical_id
+FROM h JOIN c ON h.text_sha = c.text_sha"""
+
+ORACLES["doc_ngram_jaccard"] = _JACCARD_PAIRS
+# the LSH-prefiltered pipeline is exact-verified, so it equals brute force
+ORACLES["doc_minhash_lsh"] = _JACCARD_PAIRS
+
+ORACLES["doc_simhash"] = f"""WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_HASH.format(col='tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+  FROM h, unnest(range(0, 31)) AS r(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN v >= 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id"""
+
+_STOPS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+
+def _stop_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOPS[lang])
+    return (f"len(list_filter({_TOKS}, t -> list_contains([{lst}], t)))")
+
+
+ORACLES["doc_langid"] = f"""WITH s AS (
+  SELECT doc_id,
+         {_stop_sql('en')} AS en_hits,
+         {_stop_sql('de')} AS de_hits,
+         {_stop_sql('fr')} AS fr_hits,
+         {_stop_sql('es')} AS es_hits
+  FROM documents
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM s"""
+
+ORACLES["doc_quality"] = f"""WITH q AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len({_TOKS}) AS n_words,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         {_stop_sql('en')} AS en_stopwords,
+         {_TOKS} AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words, n_punct, en_stopwords,
+  round(CASE WHEN n_words > 0
+        THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / n_words
+        ELSE 0.0 END, 4) AS mean_word_len,
+  round(CASE WHEN n_words > 0
+        THEN least(1.0, n_words / 100.0) * 0.5
+             + (en_stopwords::DOUBLE / n_words) * 0.3
+             + CASE WHEN n_punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END
+        ELSE 0.0 END, 4) AS quality
+FROM q"""
+
+ORACLES["doc_tokens"] = """SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS bpe_tokens
+FROM documents"""
+
+ORACLES["doc_fingerprint"] = """SELECT doc_id,
+  sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+ORACLES["emb_cosine_topk"] = """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (
+  SELECT query_id, e.vec_id,
+         round(list_dot_product(qv, v)
+               / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)), 6) AS cosine
+  FROM q, e WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5"""

@@ -38,8 +38,10 @@ def tokens_col(text_col: str = "text"):
 
 def _token_hash_sql(tok_expr: str) -> str:
     """31-bit polynomial rolling hash as a SQL expression (portable to
-    DuckDB's list_reduce with the identical formula)."""
-    return (f"aggregate(split({tok_expr}, ''), 0L, "
+    DuckDB's list_reduce with the identical formula). Empty-string array
+    elements are filtered: Spark's split-by-empty and DuckDB's string_split
+    differ on boundary empties."""
+    return (f"aggregate(filter(split({tok_expr}, ''), c -> c != ''), 0L, "
             f"(acc, c) -> (acc * {HASH_BASE} + ascii(c)) % {HASH_MOD})")
 
 
@@ -66,9 +68,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     toks = tokens_col().alias("toks")
     d = docs.select("doc_id", toks)
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n))))
+    sh = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", F.explode(sh).alias("shingle"))
 
 
@@ -164,12 +169,10 @@ def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
         "h")
     votes = (bit.withColumn(
-        "vote", (F.shiftright(F.col("h"), F.col("b").cast("int")) % 2) * 2 - 1)
+        "vote", F.expr("(shiftright(h, b) % 2) * 2 - 1"))
         .groupBy("doc_id", "b").agg(F.sum("vote").alias("v")))
     return (votes.withColumn(
-        "bitval", F.when(F.col("v") >= 0,
-                         F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int")))
-        .otherwise(F.lit(0).cast("long")))
+        "bitval", F.expr("CASE WHEN v >= 0 THEN shiftleft(1L, b) ELSE 0L END"))
         .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
 
 

@@ -1,0 +1,73 @@
+"""Training-data operators: dedup family, text analysis."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_sha(spark, docs):
+    from codegraph.textops import exact_dedup
+
+    out = exact_dedup(docs).toPandas()
+    src = docs.select("doc_id", "text").toPandas().set_index("doc_id")["text"]
+    assert len(out) == len(src)
+    for _, r in out.head(20).iterrows():
+        assert r["text_sha"] == hashlib.sha256(
+            src[r["doc_id"]].encode()).hexdigest()
+    assert (out["dup_count"] >= 1).all()
+
+
+def test_minhash_equals_bruteforce(spark, docs):
+    # LSH prefilter + exact verify == brute-force exact jaccard
+    from codegraph.textops import jaccard_pairs, minhash_lsh_pairs
+
+    exact = jaccard_pairs(docs, threshold=0.5).toPandas()
+    lsh = minhash_lsh_pairs(docs, threshold=0.5, bands=16).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+    assert key(exact) == key(lsh)
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    from codegraph.textops import jaccard_pairs, simhash
+
+    sh = {r["doc_id"]: r["simhash"]
+          for r in simhash(docs).collect()}
+    pairs = jaccard_pairs(docs, threshold=0.5).collect()
+    if not pairs:
+        pytest.skip("no near-dup pairs at this sf")
+    for p in pairs:
+        ham = bin(sh[p["id_a"]] ^ sh[p["id_b"]]).count("1")
+        assert ham <= 12, f"near-dup pair {p} has hamming {ham}"
+
+
+def test_quality_and_tokens_python_parity(spark, docs):
+    import re
+
+    from codegraph.textops import quality_score, token_counts
+
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    t = token_counts(docs).toPandas().set_index("doc_id")
+    for r in docs.limit(10).collect():
+        text = r["text"]
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        assert q.loc[r["doc_id"], "n_words"] == len(toks)
+        assert q.loc[r["doc_id"], "n_chars"] == len(text)
+        ws = [w for w in re.split(r"\s+", text) if w]
+        assert t.loc[r["doc_id"], "ws_tokens"] == len(ws)
+
+
+def test_langid_deterministic(spark, docs):
+    from codegraph.textops import lang_id
+
+    a = lang_id(docs).orderBy("doc_id").toPandas()
+    b = lang_id(docs).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+    assert set(a["pred_lang"]) <= {"en", "de", "fr", "es", "unknown"}
