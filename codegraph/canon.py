@@ -40,14 +40,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     min node id (string) of the component. Hash-min propagation:
     each iteration joins labels across edges and keeps the min; stops when no
     label changes. Every iteration localCheckpoints to keep plans flat."""
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
-             .distinct())
-    labels = nodes.withColumn("comp", F.col("node"))
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .distinct()
            .localCheckpoint())
+    # derive nodes/labels from the checkpointed edge list so iterations never
+    # recompute the (possibly expensive) upstream lineage
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint()
 
     for _ in range(max_iter):
         # candidate labels: my own + the min label among my neighbors

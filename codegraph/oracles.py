@@ -413,7 +413,7 @@ e AS (
          repo || chr(30) || repo || ':' || member_display AS dst
   FROM member_keys
 ),
-e2 AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+e2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
 nodes AS (SELECT DISTINCT a AS node FROM e2),
 reach AS (
   SELECT node, node AS r FROM nodes

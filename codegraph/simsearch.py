@@ -58,7 +58,7 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
 
 
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-                 n_planes: int = 6, n_tables: int = 8, dim: int = 64) -> DataFrame:
+                 n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH: signature per (table), candidates = same-bucket
     pairs in ANY table, exact cosine rerank on candidates only."""
     emb = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
