@@ -50,6 +50,41 @@ def discover(source: DataFrame,
     return source.filter(ext_pred & ~low.rlike(_EXCLUDED_RE))
 
 
+def mark_deleted(nodes: DataFrame, edges: DataFrame,
+                 diff: DataFrame) -> DataFrame:
+    """F4 (SolutionProcessor.cs:84-92, MarkFileAsDeleted.cypher:1-5):
+    deleted paths -> file node deleted=true, cascading to the symbols the
+    file DECLARES."""
+    deleted_paths = diff.filter(F.col("status") == "D").select("repo", "path")
+    del_files = (nodes.filter(F.col("label") == S.L_FILE)
+                 .join(deleted_paths, ["repo", "path"], "left_semi")
+                 .select("repo", F.col("key").alias("file_key")))
+    del_symbols = (edges.filter(F.col("rel_type") == S.R_DECLARES)
+                   .join(del_files.withColumnRenamed("file_key", "src_key"),
+                         ["repo", "src_key"], "left_semi")
+                   .select("repo", F.col("dst_key").alias("key")))
+    flagged_keys = (del_files.withColumnRenamed("file_key", "key")
+                    .unionByName(del_symbols).withColumn("_del", F.lit(True)))
+    return (nodes.join(flagged_keys, ["repo", "key"], "left")
+            .withColumn("deleted", F.coalesce("_del", "deleted"))
+            .drop("_del"))
+
+
+def purge(spark, graph_dir: str, repo: str) -> None:
+    """Scoped purge (J12, PurgeData.cypher:2-100). Graph universes are
+    per-repo here, so purging a repo is a partition-filter rewrite of the
+    node/edge tables — the Spark shape of the reference's batched
+    label-by-label delete loop."""
+    for table in ("nodes", "edges", "files"):
+        path = f"{graph_dir}/{table}"
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            continue
+        kept = df.filter(F.col("repo") != repo)
+        kept.write.mode("overwrite").parquet(path + "_purged")
+
+
 def apply_diff_filter(files: DataFrame, diff: DataFrame | None) -> DataFrame:
     """F3 (SolutionProcessor.cs:301-324): diff present & non-empty -> keep
     modified/added paths only; diff present & empty -> process NOTHING."""

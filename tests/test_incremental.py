@@ -1,0 +1,43 @@
+"""Incremental / deletion / purge semantics (F3, F4, J11, J12)."""
+
+from pyspark.sql import functions as F
+
+
+def test_mark_deleted_cascades(spark, tiny_result):
+    from codegraph.pipeline import mark_deleted
+
+    nodes, edges = tiny_result["nodes"], tiny_result["edges"]
+    one = (nodes.filter("label = 'src__File' AND path LIKE '%.cs'")
+           .select("repo", "path").limit(1).collect()[0])
+    diff = spark.createDataFrame([(one["repo"], one["path"], "D")],
+                                 "repo string, path string, status string")
+    marked = mark_deleted(nodes, edges, diff)
+    f = marked.filter((F.col("label") == "src__File")
+                      & (F.col("repo") == one["repo"])
+                      & (F.col("path") == one["path"])).collect()
+    assert all(r["deleted"] for r in f)
+    # declared symbols cascade
+    declared = (edges.filter("rel_type = 'src__DECLARES'")
+                .filter((F.col("repo") == one["repo"])
+                        & (F.col("src_key") == one["path"]))
+                .select("repo", F.col("dst_key").alias("key")))
+    n_declared = declared.count()
+    assert n_declared > 0
+    flagged = (marked.filter("label = 'src__Symbol' AND deleted")
+               .join(declared, ["repo", "key"], "left_semi").count())
+    assert flagged == n_declared
+    # everything else untouched
+    others = marked.filter(F.col("deleted") & (F.col("repo") != one["repo"]))
+    assert others.count() == 0
+
+
+def test_purge_removes_only_target_repo(spark, tiny_result, tmp_path):
+    from codegraph.pipeline import purge
+
+    out = str(tmp_path / "graph")
+    tiny_result["nodes"].write.mode("overwrite").parquet(f"{out}/nodes")
+    tiny_result["edges"].write.mode("overwrite").parquet(f"{out}/edges")
+    purge(spark, out, "repo0000")
+    kept = spark.read.parquet(f"{out}/nodes_purged")
+    assert kept.filter("repo = 'repo0000'").count() == 0
+    assert kept.filter("repo = 'repo0001'").count() > 0
