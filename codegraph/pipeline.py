@@ -55,9 +55,10 @@ def mark_deleted(nodes: DataFrame, edges: DataFrame,
     """F4 (SolutionProcessor.cs:84-92, MarkFileAsDeleted.cypher:1-5):
     deleted paths -> file node deleted=true, cascading to the symbols the
     file DECLARES."""
-    deleted_paths = diff.filter(F.col("status") == "D").select("repo", "path")
+    deleted_paths = (diff.filter(F.col("status") == "D")
+                     .select("repo", F.col("path").alias("file_path")))
     del_files = (nodes.filter(F.col("label") == S.L_FILE)
-                 .join(deleted_paths, ["repo", "path"], "left_semi")
+                 .join(deleted_paths, ["repo", "file_path"], "left_semi")
                  .select("repo", F.col("key").alias("file_key")))
     del_symbols = (edges.filter(F.col("rel_type") == S.R_DECLARES)
                    .join(del_files.withColumnRenamed("file_key", "src_key"),

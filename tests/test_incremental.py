@@ -7,14 +7,14 @@ def test_mark_deleted_cascades(spark, tiny_result):
     from codegraph.pipeline import mark_deleted
 
     nodes, edges = tiny_result["nodes"], tiny_result["edges"]
-    one = (nodes.filter("label = 'src__File' AND path LIKE '%.cs'")
-           .select("repo", "path").limit(1).collect()[0])
+    one = (nodes.filter("label = 'src__File' AND file_path LIKE '%.cs'")
+           .select("repo", F.col("file_path").alias("path")).limit(1).collect()[0])
     diff = spark.createDataFrame([(one["repo"], one["path"], "D")],
                                  "repo string, path string, status string")
     marked = mark_deleted(nodes, edges, diff)
     f = marked.filter((F.col("label") == "src__File")
                       & (F.col("repo") == one["repo"])
-                      & (F.col("path") == one["path"])).collect()
+                      & (F.col("file_path") == one["path"])).collect()
     assert all(r["deleted"] for r in f)
     # declared symbols cascade
     declared = (edges.filter("rel_type = 'src__DECLARES'")
@@ -26,9 +26,12 @@ def test_mark_deleted_cascades(spark, tiny_result):
     flagged = (marked.filter("label = 'src__Symbol' AND deleted")
                .join(declared, ["repo", "key"], "left_semi").count())
     assert flagged == n_declared
-    # everything else untouched
-    others = marked.filter(F.col("deleted") & (F.col("repo") != one["repo"]))
-    assert others.count() == 0
+    # no NEW deletions outside the target repo (pre-existing deleted flags
+    # from commit-log stubs stay as they were)
+    before = nodes.filter("deleted").select("repo", "key")
+    new_deleted = (marked.filter("deleted").select("repo", "key")
+                   .exceptAll(before))
+    assert new_deleted.filter(F.col("repo") != one["repo"]).count() == 0
 
 
 def test_purge_removes_only_target_repo(spark, tiny_result, tmp_path):
