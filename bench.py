@@ -81,13 +81,32 @@ def main():
 
     scaling = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # two-parallelism scaling evidence (N vs 4N stand-in)
+        # two-parallelism scaling evidence (N vs 4N stand-in). A 4x-sf0.1
+        # corpus is used so the data-dominated stages amortize fixed
+        # per-stage overheads the way a real cluster-size comparison would.
+        scale_dir = os.path.join(gen.FIXTURE_ROOT, "scale")
+        marker = os.path.join(scale_dir, "_DONE")
+        if not os.path.exists(marker):
+            os.makedirs(scale_dir, exist_ok=True)
+            n_repos, fpr = (int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "128")),
+                            int(os.environ.get("SPARK_GRAFT_SCALE_FPR", "640")))
+            log(f"bench: generating scale fixture {n_repos}x{fpr}")
+            gen.source_table(spark, n_repos, fpr).write.mode("overwrite").parquet(
+                os.path.join(scale_dir, "source_files.parquet"))
+            gen.commit_log_table(spark, n_repos, fpr).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "commit_log.parquet"))
+            spark.createDataFrame(gen.gen_assembly_refs_pdf(n_repos)).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "assembly_refs.parquet"))
+            spark.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
+            with open(marker, "w") as f:
+                f.write("ok\n")
         spark.stop()
         lo, hi = max(2, cpus // 4), cpus
         thr = {}
         for n in (lo, hi):
             s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
-            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, fixture_dir))
+            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
             thr[n] = (nn + ne) / t
             log(f"bench: scaling local[{n}] -> {t:.1f}s, {thr[n]:.0f} triples/s")
             s.stop()

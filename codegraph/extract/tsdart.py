@@ -75,10 +75,19 @@ def _doc_before(content: str, idx: int) -> str | None:
     return None
 
 
+_TS_SKIP_RE = re.compile(
+    r"(\.d\.ts$)|(\.generated\.)|((^|/)(dist|build|\.next|coverage)/)")
+
+
 def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
                min_acc: int, ts_projects: dict) -> None:
     ns = keys.dir_namespace(em.path)
     em.filemeta(ns or None)
+
+    # F8: declaration files, *.generated.*, and build-output dirs skipped
+    # (tools/ts-analyzer/src/analyzer.ts:23,39-42,107-119)
+    if _TS_SKIP_RE.search(file_key):
+        return
 
     # find governing package.json (TypeScriptHandlerBase.cs:36-41,115-129)
     project = None

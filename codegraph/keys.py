@@ -90,6 +90,21 @@ def csharp_key(repo: str | None, display: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# multi-TFM project name handling (P10): "App(net8.0)" -> "App"
+# (SolutionFileDiscoveryService.cs:135-139, DependencyIngestor.cs:94-98)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TFM_RE = _re.compile(r"^(.*)\((.+)\)$")
+
+
+def strip_tfm(project_name: str) -> str:
+    m = _TFM_RE.match(project_name)
+    return m.group(1) if m else project_name
+
+
+# ---------------------------------------------------------------------------
 # line number from char offset (DocumentHandlerBase.cs:53-54)
 # ---------------------------------------------------------------------------
 

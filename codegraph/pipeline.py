@@ -71,6 +71,37 @@ def mark_deleted(nodes: DataFrame, edges: DataFrame,
             .drop("_del"))
 
 
+def merge_reindex(old_nodes: DataFrame, old_edges: DataFrame,
+                  new_nodes: DataFrame, new_edges: DataFrame,
+                  reindexed_files: DataFrame):
+    """J11 (DeletePriorSymbols.cypher:1-3, Neo4jFlushService.cs:55):
+    re-indexing a set of files first deletes the symbols they previously
+    declared, then upserts the new batch — as DataFrame ops: anti-join the
+    old symbol rows of re-indexed files, union the new run, last-write-wins
+    on key collisions (new wins)."""
+    rf = reindexed_files.select("repo", F.col("path").alias("file_key"))
+    old_declared = (old_edges.filter(F.col("rel_type") == S.R_DECLARES)
+                    .join(rf.withColumnRenamed("file_key", "src_key"),
+                          ["repo", "src_key"], "left_semi")
+                    .select("repo", F.col("dst_key").alias("key")))
+    kept_nodes = (old_nodes
+                  .join(old_declared.withColumn("label", F.lit(S.L_SYMBOL)),
+                        ["repo", "key", "label"], "left_anti"))
+    kept_edges = (old_edges
+                  .join(old_declared.withColumnRenamed("key", "src_key"),
+                        ["repo", "src_key"], "left_anti")
+                  .join(old_declared.withColumnRenamed("key", "dst_key"),
+                        ["repo", "dst_key"], "left_anti"))
+    # new run wins on (repo, label, key) collisions (MERGE SET semantics)
+    merged_nodes = canon.dedup_by_key(
+        new_nodes.withColumn("_pri", F.lit(1))
+        .unionByName(kept_nodes.withColumn("_pri", F.lit(0))),
+        ["repo", "label", "key"], ["_pri"]).drop("_pri")
+    merged_edges = (new_edges.unionByName(kept_edges)
+                    .dropDuplicates(["repo", "src_key", "rel_type", "dst_key"]))
+    return merged_nodes, merged_edges
+
+
 def purge(spark, graph_dir: str, repo: str) -> None:
     """Scoped purge (J12, PurgeData.cypher:2-100). Graph universes are
     per-repo here, so purging a repo is a partition-filter rewrite of the
@@ -166,6 +197,12 @@ def run_pipeline(
     files_src = apply_diff_filter(files_src, diff)
 
     if records is None:
+        # the extraction stage is CPU-bound per row: make sure it sees at
+        # least one split per core (small parquet inputs pack into few
+        # splits; at real scale the input supplies ample splits by itself)
+        target = spark.sparkContext.defaultParallelism
+        if files_src.rdd.getNumPartitions() < target:
+            files_src = files_src.repartition(target)
         # pre-scans (small dims, driver-collected, closed over by the UDF stage)
         ts_projects = scan_ts_projects(files_src)
         pkg_meta = {}
@@ -179,6 +216,10 @@ def run_pipeline(
 
     raw_symbols = records.filter(F.col("rec") == "symbol")
     symbols = canon.dedup_symbols(raw_symbols)
+    if persist:
+        # symbols feed the dictionary builds, the J1 semi-joins, DECLARES,
+        # tags, and the node assembly — pay the window dedup once
+        symbols = symbols.persist()
 
     # --- files table (UpsertFile.cypher property set) ----------------------
     overrides = (records.filter(F.col("rec") == "filemeta")
@@ -213,6 +254,9 @@ def run_pipeline(
                      "array<struct<name:string,first_commit:timestamp,"
                      "last_commit:timestamp,commit_count:bigint>>")))
         authored = None
+
+    if persist:
+        files = files.persist()
 
     # --- entity linking (J1/F9) --------------------------------------------
     rels = records.filter(F.col("rec") == "rel").select(
