@@ -26,17 +26,35 @@ def log(msg: str) -> None:
 
 
 def run_kg_pipeline(spark, fixture_dir: str):
+    """Full pipeline with the extraction output STAGED to parquet — the
+    shape a 100 TB run uses anyway (checkpoint batch). Parquet staging beats
+    Spark's columnar-compressed memory cache here: one cheap write, and every
+    downstream branch re-reads with column pruning."""
+    import shutil
+    import tempfile
+
     from codegraph import pipeline as P
+    from codegraph.materialize import _extract_stage
 
     src = spark.read.parquet(os.path.join(fixture_dir, "source_files.parquet"))
     cl = spark.read.parquet(os.path.join(fixture_dir, "commit_log.parquet"))
     ar = spark.read.parquet(os.path.join(fixture_dir, "assembly_refs.parquet"))
     pm = spark.read.parquet(os.path.join(fixture_dir, "pkg_metadata.parquet"))
-    res = P.run_pipeline(spark, src, commit_log=cl, assembly_refs=ar,
-                         pkg_metadata=pm, persist=True)
-    n_edges = res["edges"].count()
-    n_nodes = res["nodes"].count()
-    res["records"].unpersist()
+
+    tmp = tempfile.mkdtemp(prefix="codegraph_records_")
+    try:
+        filtered = P.discover(src)
+        target = spark.sparkContext.defaultParallelism
+        if filtered.rdd.getNumPartitions() < target:
+            filtered = filtered.repartition(target)
+        _extract_stage(filtered, pm).write.mode("overwrite").parquet(tmp)
+        records = spark.read.parquet(tmp)
+        res = P.run_pipeline(spark, src, commit_log=cl, assembly_refs=ar,
+                             pkg_metadata=pm, persist=True, records=records)
+        n_edges = res["edges"].count()
+        n_nodes = res["nodes"].count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return n_nodes, n_edges
 
 

@@ -91,9 +91,10 @@ _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
 def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
                    salt: int = 0) -> DataFrame:
     """Resolve ``name_col`` against the ordered candidate-namespace list.
-    Keeps the first (lowest-priority-index) namespace that declares the name;
-    unresolved mentions drop (Roslyn error type => no edge). Adds columns
-    t_key / t_display."""
+    Keeps the first (lowest-priority-index) namespace that declares the name
+    via a min_by aggregation (one shuffle with map-side partial agg — cheaper
+    than a sort window); unresolved mentions drop (Roslyn error type => no
+    edge). Adds columns t_key / t_display."""
     cands = mentions.select(
         "*", F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
     )
@@ -107,15 +108,12 @@ def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
         join_cond.append(F.col("m_salt") == F.col("d_salt"))
     joined = cands.join(t, on=join_cond, how="inner") \
         .drop("t_repo", "ns", "name")
-    if salt > 0:
-        joined = joined.drop("m_salt", "d_salt")
-    w = Window.partitionBy(*_MENTION_ID_COLS).orderBy("prio")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "prio", "cand_ns")
-        .withColumnRenamed("type_key", "t_key")
-        .withColumnRenamed("type_display", "t_display")
+        joined.groupBy(*_MENTION_ID_COLS)
+        .agg(F.expr("min_by(struct(type_key, type_display), prio)").alias("_r"))
+        .select(*_MENTION_ID_COLS,
+                F.col("_r.type_key").alias("t_key"),
+                F.col("_r.type_display").alias("t_display"))
     )
 
 
@@ -137,18 +135,35 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         .distinct()
     )
 
-    # --- type mentions: DEPENDS_ON from containing type to resolved type ---
-    tm = mentions.filter(F.col("m_kind") == "type")
-    type_edges = _as_edge(_resolve_types(tm, types, "m_name", salt), "t_key")
+    # --- ONE type-resolution pass for every mention kind that names a type:
+    #     type/ctor mentions resolve m_name, via/static resolve the receiver
+    #     token. One explode + one dictionary join + one min_by instead of
+    #     three parallel pipelines.
+    needs_type = mentions.filter(
+        F.col("m_kind").isin("type", "ctor", "invoke_via", "invoke_static"))
+    needs_type = needs_type.withColumn(
+        "resolve_tok",
+        F.when(F.col("m_kind").isin("type", "ctor"), F.col("m_name"))
+        .otherwise(F.col("m_recv")))
+    resolved_t = _resolve_types(needs_type, types, "resolve_tok", salt)
 
-    # --- ctor mentions: resolve type, then its declared ctor by arg count ---
-    cm = _resolve_types(mentions.filter(F.col("m_kind") == "ctor"), types,
-                        "m_name", salt)
+    type_edges = _as_edge(resolved_t.filter(F.col("m_kind") == "type"), "t_key")
+
+    # ctor: join the declared ctor by arg count (no-overload subset)
     ctors = members.filter(F.col("lookup_name") == "<ctor>")
     ctor_edges = _as_edge(
-        cm.join(ctors, on=[F.col("repo") == F.col("mm_repo"),
+        resolved_t.filter(F.col("m_kind") == "ctor")
+        .join(ctors, on=[F.col("repo") == F.col("mm_repo"),
+                         F.col("t_display") == F.col("type_display"),
+                         F.col("m_nargs") == F.col("nparams")], how="inner"),
+        "member_key")
+
+    # field/static-receiver invocations: member lookup on the resolved type
+    via_edges = _as_edge(
+        resolved_t.filter(F.col("m_kind").isin("invoke_via", "invoke_static"))
+        .join(members, on=[F.col("repo") == F.col("mm_repo"),
                            F.col("t_display") == F.col("type_display"),
-                           F.col("m_nargs") == F.col("nparams")], how="inner"),
+                           F.col("m_name") == F.col("lookup_name")], how="inner"),
         "member_key")
 
     # --- own-type invocations: m_recv already holds the type display --------
@@ -157,16 +172,6 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         im.join(members, on=[F.col("repo") == F.col("mm_repo"),
                              F.col("m_recv") == F.col("type_display"),
                              F.col("m_name") == F.col("lookup_name")], how="inner"),
-        "member_key")
-
-    # --- field-receiver / static-receiver invocations: resolve the receiver
-    #     token to a type, then the member by name --------------------------
-    vm = mentions.filter(F.col("m_kind").isin("invoke_via", "invoke_static"))
-    vm_t = _resolve_types(vm, types, "m_recv", salt)
-    via_edges = _as_edge(
-        vm_t.join(members, on=[F.col("repo") == F.col("mm_repo"),
-                               F.col("t_display") == F.col("type_display"),
-                               F.col("m_name") == F.col("lookup_name")], how="inner"),
         "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
