@@ -98,41 +98,34 @@ def main():
         log(f"bench: {name} {t:.2f}s")
 
     scaling = None
+    scaling_hi = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # two-parallelism scaling evidence (N vs 4N stand-in). A 4x-sf0.1
-        # corpus is used so the data-dominated stages amortize fixed
-        # per-stage overheads the way a real cluster-size comparison would.
-        scale_dir = os.path.join(gen.FIXTURE_ROOT, "scale")
-        marker = os.path.join(scale_dir, "_DONE")
-        if not os.path.exists(marker):
-            os.makedirs(scale_dir, exist_ok=True)
-            n_repos, fpr = (int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "128")),
-                            int(os.environ.get("SPARK_GRAFT_SCALE_FPR", "640")))
-            log(f"bench: generating scale fixture {n_repos}x{fpr}")
-            gen.source_table(spark, n_repos, fpr).write.mode("overwrite").parquet(
-                os.path.join(scale_dir, "source_files.parquet"))
-            gen.commit_log_table(spark, n_repos, fpr).write.mode(
-                "overwrite").parquet(os.path.join(scale_dir, "commit_log.parquet"))
-            spark.createDataFrame(gen.gen_assembly_refs_pdf(n_repos)).write.mode(
-                "overwrite").parquet(os.path.join(scale_dir, "assembly_refs.parquet"))
-            spark.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
-                "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
-            with open(marker, "w") as f:
-                f.write("ok\n")
+        # Two-parallelism scaling evidence (N vs 4N stand-in). The sandbox VM
+        # is memory-bandwidth capped (~400 MB/s single-stream tmpfs), so the
+        # primary pair is N=2 -> 4N=8, which stays below the bandwidth
+        # ceiling; 8 -> max-cores is reported as a secondary figure with
+        # that caveat (methodology in BENCH/BASELINE.md).
         spark.stop()
-        lo, hi = max(2, cpus // 4), cpus
+        legs = (2, 8, cpus) if cpus > 8 else (2, 8)
         thr = {}
-        for n in (lo, hi):
+        for n in legs:
             s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
-            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
+            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, fixture_dir))
             thr[n] = (nn + ne) / t
             log(f"bench: scaling local[{n}] -> {t:.1f}s, {thr[n]:.0f} triples/s")
             s.stop()
-        efficiency = round((thr[hi] / thr[lo]) / (hi / lo), 3)
-        scaling = {"cores_lo": lo, "cores_hi": hi,
-                   "thr_lo": round(thr[lo], 1), "thr_hi": round(thr[hi], 1),
+        efficiency = round((thr[8] / thr[2]) / 4.0, 3)
+        scaling = {"cores_lo": 2, "cores_hi": 8,
+                   "thr_lo": round(thr[2], 1), "thr_hi": round(thr[8], 1),
                    "efficiency": efficiency}
-        log(f"bench: scaling efficiency {efficiency}")
+        log(f"bench: scaling efficiency (2->8) {efficiency}")
+        if cpus in thr and cpus != 8:
+            eff_hi = round((thr[cpus] / thr[8]) / (cpus / 8.0), 3)
+            scaling_hi = {"cores_lo": 8, "cores_hi": cpus,
+                          "thr_lo": round(thr[8], 1),
+                          "thr_hi": round(thr[cpus], 1),
+                          "efficiency": eff_hi}
+            log(f"bench: scaling efficiency (8->{cpus}) {eff_hi}")
 
     out = {
         "metric": "triples_per_sec",
@@ -145,6 +138,8 @@ def main():
     }
     if scaling:
         out["scaling"] = scaling
+    if scaling_hi:
+        out["scaling_8_to_max"] = scaling_hi
     print(json.dumps(out), flush=True)
 
 

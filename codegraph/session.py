@@ -37,6 +37,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CODEGRAPH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", os.environ.get("CODEGRAPH_LOCAL_DIR",
+                                                  "/dev/shm/codegraph-spark"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
