@@ -100,17 +100,33 @@ def main():
     scaling = None
     scaling_hi = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # Two-parallelism scaling evidence (N vs 4N stand-in). The sandbox VM
-        # is memory-bandwidth capped (~400 MB/s single-stream tmpfs), so the
-        # primary pair is N=2 -> 4N=8, which stays below the bandwidth
-        # ceiling; 8 -> max-cores is reported as a secondary figure with
-        # that caveat (methodology in BENCH/BASELINE.md).
+        # Two-parallelism scaling evidence (N vs 4N stand-in). Measured on a
+        # heavier corpus (192 repos x 640 files x 6 classes/file) so real
+        # per-task work dominates the sandbox VM's large per-task/kernel
+        # overheads; primary pair N=2 -> 4N=8 (below the VM's memory-
+        # bandwidth ceiling), 8 -> max-cores secondary. Methodology and the
+        # measured fixed-cost analysis live in BENCH/BASELINE.md.
+        scale_dir = os.path.join(gen.FIXTURE_ROOT, "scale_v2")
+        marker = os.path.join(scale_dir, "_DONE")
+        if not os.path.exists(marker):
+            os.makedirs(scale_dir, exist_ok=True)
+            log("bench: generating scale_v2 fixture (192x640x6)")
+            gen.source_table(spark, 192, 640, classes_per_file=6).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "source_files.parquet"))
+            gen.commit_log_table(spark, 192, 640).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "commit_log.parquet"))
+            spark.createDataFrame(gen.gen_assembly_refs_pdf(192)).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "assembly_refs.parquet"))
+            spark.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
+                "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
+            with open(marker, "w") as f:
+                f.write("ok\n")
         spark.stop()
         legs = (2, 8, cpus) if cpus > 8 else (2, 8)
         thr = {}
         for n in legs:
             s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
-            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, fixture_dir))
+            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
             thr[n] = (nn + ne) / t
             log(f"bench: scaling local[{n}] -> {t:.1f}s, {thr[n]:.0f} triples/s")
             s.stop()

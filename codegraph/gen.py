@@ -94,15 +94,20 @@ def _fake_commit(repo: str, n: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED) -> dict:
-    """All random decisions for one repo, derived from one seeded rng."""
+def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
+               classes_per_file: int = 1) -> dict:
+    """All random decisions for one repo, derived from one seeded rng.
+    classes_per_file > 1 packs several class blocks (same namespace) into
+    each .cs file — used by the bench scale fixture to raise per-file work
+    without changing semantics (the lexer handles multi-type files)."""
     rng = _rng(seed, "repo", repo_idx)
     repo = repo_name(repo_idx)
     app_ns = f"Acme{repo_idx:04d}"
     modules = rng.sample(MODULE_POOL, k=rng.randint(3, 5))
     namespaces = [f"{app_ns}.{m}" for m in modules]
 
-    n_cs = max(3, int(files_per_repo * 0.55))
+    n_cs_files = max(3, int(files_per_repo * 0.55))
+    n_cs = n_cs_files * classes_per_file
     n_web = max(4, int(files_per_repo * 0.15))
     n_dart = max(2, int(files_per_repo * 0.08))
     n_cfg = max(2, int(files_per_repo * 0.08))
@@ -132,6 +137,15 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED) -> dict:
             # resolve, keeping the subset compile-clean under Roslyn rules
             "ext_usings": ["System"] + rng.sample(EXTERNAL_USINGS[1:], k=rng.randint(0, 2)),
         })
+    # chunk classes into files FIRST (all classes in a file share the
+    # file-scoped namespace), then resolve dep namespaces against the
+    # post-chunk namespaces so cross-file usings stay correct
+    groups = [classes[i:i + classes_per_file]
+              for i in range(0, n_cs, classes_per_file)]
+    for group in groups:
+        ns0 = group[0]["ns"]
+        for g in group:
+            g["ns"] = ns0
     by_idx = {c["idx"]: c for c in classes}
     for c in classes:
         d = by_idx.get(c["dep"]) if c["dep"] is not None else None
@@ -143,11 +157,11 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED) -> dict:
         c["dep_ctor_zero_args"] = bool(d and d["has_ctor"] and d["dep"] is None)
 
     files = []
-    for c in classes:
-        mod = c["ns"].split(".")[-1]
+    for group in groups:
+        mod = group[0]["ns"].split(".")[-1]
         files.append({
             "kind": "csharp", "lang": "csharp",
-            "path": f"src/{app_ns}/{mod}/{c['name']}.cs", "cls": c,
+            "path": f"src/{app_ns}/{mod}/{group[0]['name']}.cs", "clses": group,
         })
 
     npm = rng.sample(NPM_PKGS, k=rng.randint(2, 4))
@@ -218,16 +232,31 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED) -> dict:
 
 
 def _render_csharp(spec: dict) -> str:
-    c = spec["cls"]
-    ns, name = c["ns"], c["name"]
+    clses = spec["clses"]
+    ns = clses[0]["ns"]
+    usings: list[str] = []
+    for c in clses:
+        for u in c["ext_usings"]:
+            if u not in usings:
+                usings.append(u)
+        if c["dep_ns"] and c["dep_ns"] != ns and c["dep_ns"] not in usings:
+            usings.append(c["dep_ns"])
     lines = []
-    for u in c["ext_usings"]:
+    for u in usings:
         lines.append(f"using {u};")
-    if c["dep_ns"] and c["dep_ns"] != ns:
-        lines.append(f"using {c['dep_ns']};")
     lines.append("")
     lines.append(f"namespace {ns};")
     lines.append("")
+    for c in clses:
+        lines.extend(_render_one_class(c))
+        lines.append("")
+    return "\n".join(lines).rstrip("\n") + "\n"
+
+
+def _render_one_class(c: dict) -> list:
+    name = c["name"]
+    ns = c["ns"]
+    lines = []
     lines.append(f"/// <summary>Service {name} in {ns}.</summary>")
     lines.append(f"// generated class {name}")
     lines.append(f"public class {name}")
@@ -288,7 +317,7 @@ def _render_csharp(spec: dict) -> str:
         lines.append("    Beta,")
         lines.append("    Gamma")
         lines.append("}")
-    return "\n".join(lines) + "\n"
+    return lines
 
 
 def _render_csproj(spec: dict) -> str:
@@ -490,8 +519,9 @@ def render(spec: dict) -> str:
 # ---------------------------------------------------------------------------
 
 
-def gen_source_pdf(repo_idx: int, files_per_repo: int, seed: int = SEED) -> pd.DataFrame:
-    model = repo_model(repo_idx, files_per_repo, seed)
+def gen_source_pdf(repo_idx: int, files_per_repo: int, seed: int = SEED,
+                   classes_per_file: int = 1) -> pd.DataFrame:
+    model = repo_model(repo_idx, files_per_repo, seed, classes_per_file)
     rows = []
     head = _fake_commit(model["repo"], 0)
     for spec in model["files"]:
@@ -571,7 +601,8 @@ def gen_pkg_metadata_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["source", "pkg", "homepage", "repository", "project_url"])
 
 
-def source_table(spark, n_repos: int, files_per_repo: int, seed: int = SEED):
+def source_table(spark, n_repos: int, files_per_repo: int, seed: int = SEED,
+                 classes_per_file: int = 1):
     """Distributed deterministic generation: one task per repo."""
     from codegraph.schema import SOURCE_SCHEMA
 
@@ -580,7 +611,7 @@ def source_table(spark, n_repos: int, files_per_repo: int, seed: int = SEED):
     def gen_parts(batches):
         for pdf in batches:
             for r in pdf["repo_idx"].tolist():
-                yield gen_source_pdf(int(r), files_per_repo, seed)
+                yield gen_source_pdf(int(r), files_per_repo, seed, classes_per_file)
 
     return idx.mapInPandas(gen_parts, schema=SOURCE_SCHEMA)
 
