@@ -106,23 +106,25 @@ def main():
         # overheads; primary pair N=2 -> 4N=8 (below the VM's memory-
         # bandwidth ceiling), 8 -> max-cores secondary. Methodology and the
         # measured fixed-cost analysis live in BENCH/BASELINE.md.
-        scale_dir = os.path.join(gen.FIXTURE_ROOT, "scale_v2")
+        n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "96"))
+        scale_dir = os.path.join(gen.FIXTURE_ROOT, f"scale_bench_{n_repos}")
         marker = os.path.join(scale_dir, "_DONE")
         if not os.path.exists(marker):
             os.makedirs(scale_dir, exist_ok=True)
-            log("bench: generating scale_v2 fixture (192x640x6)")
-            gen.source_table(spark, 192, 640, classes_per_file=6).write.mode(
+            log(f"bench: generating scale fixture ({n_repos}x640x6)")
+            gen.source_table(spark, n_repos, 640, classes_per_file=6).write.mode(
                 "overwrite").parquet(os.path.join(scale_dir, "source_files.parquet"))
-            gen.commit_log_table(spark, 192, 640).write.mode(
+            gen.commit_log_table(spark, n_repos, 640).write.mode(
                 "overwrite").parquet(os.path.join(scale_dir, "commit_log.parquet"))
-            spark.createDataFrame(gen.gen_assembly_refs_pdf(192)).write.mode(
+            spark.createDataFrame(gen.gen_assembly_refs_pdf(n_repos)).write.mode(
                 "overwrite").parquet(os.path.join(scale_dir, "assembly_refs.parquet"))
             spark.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
                 "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
             with open(marker, "w") as f:
                 f.write("ok\n")
         spark.stop()
-        legs = (2, 8, cpus) if cpus > 8 else (2, 8)
+        legs = (2, 8, cpus) if os.environ.get("SPARK_GRAFT_SCALE_FULL") and cpus > 8 \
+            else (2, 8)
         thr = {}
         for n in legs:
             s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
