@@ -106,7 +106,7 @@ def main():
         # overheads; primary pair N=2 -> 4N=8 (below the VM's memory-
         # bandwidth ceiling), 8 -> max-cores secondary. Methodology and the
         # measured fixed-cost analysis live in BENCH/BASELINE.md.
-        n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "96"))
+        n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "64"))
         scale_dir = os.path.join(gen.FIXTURE_ROOT, f"scale_bench_{n_repos}")
         marker = os.path.join(scale_dir, "_DONE")
         if not os.path.exists(marker):
