@@ -1,4 +1,12 @@
-"""Shared extraction helpers: record emitter + line-aware XML walker."""
+"""Shared extraction helpers: columnar record emitter + line-aware XML walker.
+
+The emitter is the hot path of the whole pipeline (every symbol/edge/mention
+the lexers produce flows through it), so records accumulate COLUMNAR — one
+python list per output column, appended in place — and each Arrow batch is
+materialized once via ``pd.DataFrame(dict_of_lists)``. This replaces the
+round-1 per-record dict assembly (34-key dict per record +
+``pd.DataFrame(list_of_dicts)``), which dominated extraction wall time.
+"""
 
 from __future__ import annotations
 
@@ -14,61 +22,132 @@ EXTRACT_COLUMNS = [
     "language", "technology",
     "src_key", "dst_key", "rel_type",
     "m_kind", "m_from_key", "m_rel", "m_name", "m_recv", "m_usings", "m_nargs",
+    "m_args",
     "url_dep_key", "url_key", "url_name",
     "file_namespace",
 ]
 
-US = "\x1f"  # separator for m_usings namespace lists
+US = "\x1f"  # separator for m_usings namespace lists / m_args token lists
+
+_COMMON = ("rec", "repo", "path", "lang")
+
+
+def _rest(used: tuple[str, ...]) -> tuple[str, ...]:
+    skip = set(used) | set(_COMMON)
+    return tuple(c for c in EXTRACT_COLUMNS if c not in skip)
+
+
+_SYMBOL_REST = _rest(("key", "name", "kind", "klass", "fqn", "accessibility",
+                      "namespace", "start_line", "end_line", "documentation",
+                      "comments", "version", "language", "technology"))
+_REL_REST = _rest(("src_key", "dst_key", "rel_type"))
+_MENTION_REST = _rest(("m_kind", "m_from_key", "m_rel", "m_name", "m_recv",
+                       "m_usings", "m_nargs", "m_args"))
+_URL_REST = _rest(("url_dep_key", "url_key", "url_name"))
+_FILEMETA_REST = _rest(("file_namespace",))
 
 
 class Emitter:
-    """Accumulates extraction records for one file as plain dicts."""
+    """Columnar record accumulator. One instance serves a whole Arrow batch:
+    ``set_file`` switches the per-file context between files, emit methods
+    append one record to the shared column lists."""
 
-    def __init__(self, repo: str, path: str, lang: str, language: str, technology: str):
+    def __init__(self, repo: str | None = None, path: str | None = None,
+                 lang: str | None = None, language: str | None = None,
+                 technology: str | None = None):
+        self._cols: dict[str, list] = {c: [] for c in EXTRACT_COLUMNS}
+        self.n = 0
+        self.set_file(repo, path, lang, language, technology)
+
+    def set_file(self, repo, path, lang, language, technology) -> None:
         self.repo = repo
         self.path = path
         self.lang = lang
         self.language = language
         self.technology = technology
-        self.rows: list[dict] = []
 
-    def _base(self, rec: str) -> dict:
-        return {c: None for c in EXTRACT_COLUMNS} | {
-            "rec": rec, "repo": self.repo, "path": self.path, "lang": self.lang,
-        }
+    def _common(self, rec: str) -> None:
+        c = self._cols
+        c["rec"].append(rec)
+        c["repo"].append(self.repo)
+        c["path"].append(self.path)
+        c["lang"].append(self.lang)
+        self.n += 1
 
     def symbol(self, key, name, kind, klass, fqn, accessibility, namespace,
                start_line, end_line=None, documentation=None, comments=None,
                version=None):
-        r = self._base("symbol")
-        r.update(key=key, name=name, kind=kind, klass=klass, fqn=fqn,
-                 accessibility=accessibility, namespace=namespace,
-                 start_line=int(start_line), end_line=int(end_line if end_line is not None else start_line),
-                 documentation=keys.truncate(documentation), comments=keys.truncate(comments),
-                 version=version, language=self.language, technology=self.technology)
-        self.rows.append(r)
+        self._common("symbol")
+        c = self._cols
+        c["key"].append(key)
+        c["name"].append(name)
+        c["kind"].append(kind)
+        c["klass"].append(klass)
+        c["fqn"].append(fqn)
+        c["accessibility"].append(accessibility)
+        c["namespace"].append(namespace)
+        c["start_line"].append(int(start_line))
+        c["end_line"].append(int(end_line if end_line is not None else start_line))
+        c["documentation"].append(keys.truncate(documentation))
+        c["comments"].append(keys.truncate(comments))
+        c["version"].append(version)
+        c["language"].append(self.language)
+        c["technology"].append(self.technology)
+        for col in _SYMBOL_REST:
+            c[col].append(None)
 
     def rel(self, src_key: str, dst_key: str, rel_type: str):
-        r = self._base("rel")
-        r.update(src_key=src_key, dst_key=dst_key, rel_type=rel_type)
-        self.rows.append(r)
+        self._common("rel")
+        c = self._cols
+        c["src_key"].append(src_key)
+        c["dst_key"].append(dst_key)
+        c["rel_type"].append(rel_type)
+        for col in _REL_REST:
+            c[col].append(None)
 
     def mention(self, m_kind: str, m_from_key: str, m_rel: str, m_name: str,
-                m_recv: str | None, usings: list[str], m_nargs: int | None = None):
-        r = self._base("mention")
-        r.update(m_kind=m_kind, m_from_key=m_from_key, m_rel=m_rel, m_name=m_name,
-                 m_recv=m_recv, m_usings=US.join(usings), m_nargs=m_nargs)
-        self.rows.append(r)
+                m_recv: str | None, usings: list[str], m_nargs: int | None = None,
+                m_args: list[str] | None = None):
+        self._common("mention")
+        c = self._cols
+        c["m_kind"].append(m_kind)
+        c["m_from_key"].append(m_from_key)
+        c["m_rel"].append(m_rel)
+        c["m_name"].append(m_name)
+        c["m_recv"].append(m_recv)
+        c["m_usings"].append(US.join(usings))
+        c["m_nargs"].append(m_nargs)
+        # classified argument type tokens ('' = unknown), for overload matching
+        c["m_args"].append(US.join(m_args) if m_args is not None else None)
+        for col in _MENTION_REST:
+            c[col].append(None)
 
     def url(self, dep_key: str, url_key: str, name: str):
-        r = self._base("url")
-        r.update(url_dep_key=dep_key, url_key=url_key, url_name=name)
-        self.rows.append(r)
+        self._common("url")
+        c = self._cols
+        c["url_dep_key"].append(dep_key)
+        c["url_key"].append(url_key)
+        c["url_name"].append(name)
+        for col in _URL_REST:
+            c[col].append(None)
 
     def filemeta(self, file_namespace: str | None):
-        r = self._base("filemeta")
-        r.update(file_namespace=file_namespace)
-        self.rows.append(r)
+        self._common("filemeta")
+        c = self._cols
+        c["file_namespace"].append(file_namespace)
+        for col in _FILEMETA_REST:
+            c[col].append(None)
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.DataFrame(self._cols, columns=EXTRACT_COLUMNS)
+
+    @property
+    def rows(self) -> list[dict]:
+        """Row-dict view (test/debug convenience — NOT the hot path)."""
+        cols = self._cols
+        return [{c: cols[c][i] for c in EXTRACT_COLUMNS} for i in range(self.n)]
 
 
 # ---------------------------------------------------------------------------

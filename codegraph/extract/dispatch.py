@@ -4,19 +4,24 @@ Handler selection mirrors SolutionProcessor.HandlerLookup:333-379 — filename
 match first (package.json, pubspec.yaml), then case-insensitive extension
 match (config.json:1-17). The ``lang`` input column is informational only,
 exactly like the reference (it dispatches on path, never on a label).
+
+Scale notes: the two dimension lookups the lexers need (TS project roots,
+package metadata) are shipped as ``sc.broadcast`` variables — deserialized
+once per executor, not pickled into every task closure — and their driver
+footprint is bounded (names + dirs only, never file contents). At 100 TB the
+package universe stays in the low millions of entries (the reference memoizes
+the same lookups per project root, TypeScriptBridgeService.cs:16-19).
 """
 
 from __future__ import annotations
 
 import posixpath
 
-import pandas as pd
-
 from codegraph import keys
 from codegraph.extract import csharp as cs
 from codegraph.extract import textlike as tl
 from codegraph.extract import tsdart as td
-from codegraph.extract.base import EXTRACT_COLUMNS, Emitter
+from codegraph.extract.base import Emitter
 from codegraph.schema import EXTRACT_SCHEMA, HANDLER_LANG_TECH
 
 _EXT_TO_HANDLER = {
@@ -25,6 +30,9 @@ _EXT_TO_HANDLER = {
     ".ts": "typescript", ".tsx": "typescript", ".js": "javascript",
     ".dart": "dart",
 }
+
+# broadcast-dim safety cap: fail loudly instead of silently OOMing the driver
+MAX_DIM_ROWS = 2_000_000
 
 
 def handler_for_path(path: str) -> str | None:
@@ -37,19 +45,19 @@ def handler_for_path(path: str) -> str | None:
     return _EXT_TO_HANDLER.get(ext)
 
 
-def _extract_one(repo: str, path: str, content: str, min_acc: int,
-                 ts_projects: dict, pkg_meta: dict) -> list[dict]:
+def _extract_into(em: Emitter, repo: str, path: str, content: str, min_acc: int,
+                  ts_projects: dict, pkg_meta: dict) -> None:
     handler = handler_for_path(path)
     file_key = path  # fileKey == solution-relative path (FileService.cs:24-55)
     if handler is None:
-        em = Emitter(repo, path, "unknown", "unknown", "unknown")
+        em.set_file(repo, path, "unknown", "unknown", "unknown")
         em.filemeta(None)
-        return em.rows
+        return
     language, technology = HANDLER_LANG_TECH[handler]
-    em = Emitter(repo, path, handler, language, technology)
+    em.set_file(repo, path, handler, language, technology)
     if content is None:
         em.filemeta(None)
-        return em.rows
+        return
     if handler == "csharp":
         cs.extract_csharp(em, content, repo, file_key, min_acc)
     elif handler == "razor":
@@ -74,6 +82,13 @@ def _extract_one(repo: str, path: str, content: str, min_acc: int,
         td.extract_ts(em, content, repo, file_key, min_acc, ts_projects)
     elif handler == "dart":
         td.extract_dart(em, content, repo, file_key, min_acc)
+
+
+def _extract_one(repo: str, path: str, content: str, min_acc: int,
+                 ts_projects: dict, pkg_meta: dict) -> list[dict]:
+    """Single-file extraction returning row dicts (test/debug convenience)."""
+    em = Emitter()
+    _extract_into(em, repo, path, content, min_acc, ts_projects, pkg_meta)
     return em.rows
 
 
@@ -81,41 +96,59 @@ def extract_records(source_df, min_acc: int, ts_projects: dict, pkg_meta: dict):
     """source (repo, path, commit, lang, content) -> unified extraction
     records. ts_projects: {(repo, dir): project_name} from the package.json
     pre-scan (stand-in for FindProjectRoot, TypeScriptHandlerBase.cs:115-129);
-    pkg_meta: {(source, pkg): (homepage, repository, project_url)}."""
+    pkg_meta: {(source, pkg): (homepage, repository, project_url)}.
+
+    Both dims ride as broadcast variables: unpacked once per executor JVM
+    worker instead of being serialized into every task."""
+    sc = source_df.sparkSession.sparkContext
+    bc_ts = sc.broadcast(ts_projects)
+    bc_pkg = sc.broadcast(pkg_meta)
 
     def run(batches):
+        ts, pkg = bc_ts.value, bc_pkg.value
         for pdf in batches:
-            rows: list[dict] = []
+            em = Emitter()
             for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
-                rows.extend(_extract_one(repo, path, content, min_acc,
-                                         ts_projects, pkg_meta))
-            if rows:
-                yield pd.DataFrame(rows, columns=EXTRACT_COLUMNS)
+                _extract_into(em, repo, path, content, min_acc, ts, pkg)
+            if em.n:
+                yield em.to_pandas()
 
     return source_df.select("repo", "path", "content").mapInPandas(
         run, schema=EXTRACT_SCHEMA)
 
 
 def scan_ts_projects(source_df) -> dict:
-    """Pre-scan: project name per package.json directory. Small dims —
-    collected to the driver and broadcast into the extraction stage
-    (the reference memoizes per projectRoot, TypeScriptBridgeService.cs:16-19)."""
-    import json as jsonlib
-
+    """Pre-scan: project name per package.json directory. The JSON parse runs
+    executor-side (Catalyst ``get_json_object``); only the (repo, dir, name)
+    triples — a bounded dim, no file contents — reach the driver, to be
+    re-broadcast into the extraction stage."""
     from pyspark.sql import functions as F
 
     rows = (
         source_df
         .filter(F.lower(F.element_at(F.split(F.col("path"), "/"), -1)) == "package.json")
-        .select("repo", "path", "content")
+        .select("repo", "path",
+                F.get_json_object(F.col("content"), "$.name").alias("name"))
+        .filter(F.col("name").isNotNull())
+        .limit(MAX_DIM_ROWS + 1)
         .collect()
     )
-    out = {}
-    for r in rows:
-        try:
-            name = jsonlib.loads(r["content"]).get("name")
-        except (ValueError, TypeError):
-            name = None
-        if name:
-            out[(r["repo"], posixpath.dirname(r["path"]))] = name
-    return out
+    if len(rows) > MAX_DIM_ROWS:
+        raise RuntimeError(
+            f"ts-project dim exceeds {MAX_DIM_ROWS} rows; switch the TS "
+            "project-root resolution to the path-prefix join variant")
+    return {(r["repo"], posixpath.dirname(r["path"])): r["name"] for r in rows}
+
+
+def collect_pkg_meta(pkg_metadata) -> dict:
+    """Collect the package-metadata dim (nuspec/npm lookups) with a bounded
+    row cap; callers broadcast the result via ``extract_records``."""
+    if pkg_metadata is None:
+        return {}
+    rows = pkg_metadata.limit(MAX_DIM_ROWS + 1).collect()
+    if len(rows) > MAX_DIM_ROWS:
+        raise RuntimeError(
+            f"pkg-metadata dim exceeds {MAX_DIM_ROWS} rows; stage it as a "
+            "join against the dependency table instead of a broadcast dict")
+    return {(r["source"], r["pkg"]): (r["homepage"], r["repository"],
+                                      r["project_url"]) for r in rows}

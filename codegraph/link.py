@@ -85,7 +85,7 @@ def build_dictionaries(symbols: DataFrame):
 
 
 _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
-                    "m_recv", "m_usings", "m_nargs"]
+                    "m_recv", "m_usings", "m_nargs", "m_args"]
 
 
 def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,

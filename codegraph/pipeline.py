@@ -18,13 +18,15 @@ all identity is (repo, key).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codegraph import canon, gitmeta, link
 from codegraph import schema as S
 from codegraph.extract import extract_records
-from codegraph.extract.dispatch import scan_ts_projects
+from codegraph.extract.dispatch import collect_pkg_meta, scan_ts_projects
 from codegraph.schema import ACC_ORDER
 
 # ---------------------------------------------------------------------------
@@ -106,7 +108,13 @@ def purge(spark, graph_dir: str, repo: str) -> None:
     """Scoped purge (J12, PurgeData.cypher:2-100). Graph universes are
     per-repo here, so purging a repo is a partition-filter rewrite of the
     node/edge tables — the Spark shape of the reference's batched
-    label-by-label delete loop."""
+    label-by-label delete loop. The rewrite IS in place from a consumer's
+    view: the filtered copy lands in a temp dir, then swaps in atomically
+    (rename), so readers of ``<graph_dir>/<table>`` never see the purged
+    repo again. On a Delta/Iceberg catalog this becomes a single
+    ``DELETE WHERE repo = ...``."""
+    import shutil
+
     for table in ("nodes", "edges", "files"):
         path = f"{graph_dir}/{table}"
         try:
@@ -114,7 +122,16 @@ def purge(spark, graph_dir: str, repo: str) -> None:
         except Exception:
             continue
         kept = df.filter(F.col("repo") != repo)
-        kept.write.mode("overwrite").parquet(path + "_purged")
+        tmp = path + "__purging"
+        writer = kept.write.mode("overwrite")
+        if "bucket" in kept.columns:
+            writer = writer.partitionBy("bucket")
+        writer.parquet(tmp)
+        old = path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def apply_diff_filter(files: DataFrame, diff: DataFrame | None) -> DataFrame:
@@ -198,18 +215,19 @@ def run_pipeline(
 
     if records is None:
         # the extraction stage is CPU-bound per row: make sure it sees at
-        # least one split per core (small parquet inputs pack into few
-        # splits; at real scale the input supplies ample splits by itself)
+        # least one split per core. Heuristic on listed input files (cheap,
+        # no RDD conversion): few files => few splits => repartition; at
+        # real scale the input supplies ample splits and this never fires.
         target = spark.sparkContext.defaultParallelism
-        if files_src.rdd.getNumPartitions() < target:
+        try:
+            n_inputs = len(files_src.inputFiles())
+        except Exception:
+            n_inputs = target
+        if n_inputs < target:
             files_src = files_src.repartition(target)
-        # pre-scans (small dims, driver-collected, closed over by the UDF stage)
+        # pre-scans (bounded dims -> broadcast inside extract_records)
         ts_projects = scan_ts_projects(files_src)
-        pkg_meta = {}
-        if pkg_metadata is not None:
-            for r in pkg_metadata.collect():
-                pkg_meta[(r["source"], r["pkg"])] = (
-                    r["homepage"], r["repository"], r["project_url"])
+        pkg_meta = collect_pkg_meta(pkg_metadata)
         records = extract_records(files_src, min_acc, ts_projects, pkg_meta)
         if persist:
             records = records.persist()

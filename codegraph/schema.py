@@ -146,6 +146,7 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("m_recv", T.StringType(), True),     # receiver type display ('' = unknown)
     T.StructField("m_usings", T.StringType(), True),   # '\x1f'-joined candidate namespaces
     T.StructField("m_nargs", T.IntegerType(), True),   # invocation arg count
+    T.StructField("m_args", T.StringType(), True),     # '\x1f'-joined classified arg type tokens
     # url fields (UrlNode.cs:3-8)
     T.StructField("url_dep_key", T.StringType(), True),
     T.StructField("url_key", T.StringType(), True),

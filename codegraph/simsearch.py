@@ -58,10 +58,24 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
 
 
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-                 n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> DataFrame:
+                 n_planes: int | None = None, n_tables: int = 8, dim: int = 64,
+                 target_bucket: int = 64, multiprobe: int = 1) -> DataFrame:
     """Random-hyperplane LSH: signature per (table), candidates = same-bucket
-    pairs in ANY table, exact cosine rerank on candidates only."""
+    pairs in ANY table, exact cosine rerank on candidates only.
+
+    Scale-aware bucketing: the plane count grows with the corpus so the
+    expected bucket population stays ~``target_bucket`` regardless of N —
+    n_planes = log2(N / target_bucket) — which keeps the same-bucket join
+    linear in N instead of N^2/2^planes. Recall lost to finer buckets is
+    recovered by multiprobe: each query also probes every bucket within
+    Hamming distance ``multiprobe`` of its own signature (n_planes extra
+    probes per table at distance 1 — cheaper than doubling n_tables)."""
     emb = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
+    if n_planes is None:
+        import math
+
+        n = embeddings.count()
+        n_planes = max(3, min(24, math.ceil(math.log2(max(2.0, n / target_bucket)))))
 
     def bucket_expr(table: int):
         planes = _hyperplanes(dim, n_planes, table)
@@ -85,6 +99,12 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
     qb = buckets.filter(F.col("vec_id") < n_queries) \
         .select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    if multiprobe >= 1:
+        # probe own bucket + all buckets one bit-flip away (Hamming<=1)
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        qb = qb.select("query_id", "table",
+                       F.explode(F.array(*probes)).alias("bucket"))
     cands = (qb.join(buckets, ["table", "bucket"])
              .filter(F.col("query_id") != F.col("vec_id"))
              .select("query_id", "vec_id").distinct())

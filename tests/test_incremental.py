@@ -41,6 +41,9 @@ def test_purge_removes_only_target_repo(spark, tiny_result, tmp_path):
     tiny_result["nodes"].write.mode("overwrite").parquet(f"{out}/nodes")
     tiny_result["edges"].write.mode("overwrite").parquet(f"{out}/edges")
     purge(spark, out, "repo0000")
-    kept = spark.read.parquet(f"{out}/nodes_purged")
+    # the LIVE table no longer contains the purged repo (atomic swap)
+    kept = spark.read.parquet(f"{out}/nodes")
     assert kept.filter("repo = 'repo0000'").count() == 0
     assert kept.filter("repo = 'repo0001'").count() > 0
+    live_edges = spark.read.parquet(f"{out}/edges")
+    assert live_edges.filter("repo = 'repo0000'").count() == 0

@@ -42,6 +42,30 @@ def test_ann_recall(spark, emb):
     assert recall >= 0.8, f"ANN recall {recall:.2f} < 0.8"
 
 
+def test_ann_scales_planes_with_corpus(spark, emb):
+    """Bucket count must track corpus size: at 10x the vectors the derived
+    plane count rises (buckets stay ~target_bucket sized) and recall holds."""
+    from codegraph.simsearch import ann_lsh_topk, cosine_topk
+
+    big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    n = big.count()
+    assert n >= 4 * emb.count()
+    exact = cosine_topk(big, n_queries=10, k=5).toPandas()
+    ann = ann_lsh_topk(big, n_queries=10, k=5).toPandas()
+    hits = total = 0
+    for q in range(10):
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(ann[ann.query_id == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.8
+    # derived plane count grows with N: log2(N/64) buckets per table
+    import math
+    expect_planes = max(3, min(24, math.ceil(math.log2(max(2.0, n / 64)))))
+    assert expect_planes > max(3, min(24, math.ceil(math.log2(max(2.0, emb.count() / 64)))))
+    big.unpersist()
+
+
 def test_ann_deterministic(spark, emb):
     from codegraph.simsearch import ann_lsh_topk
 

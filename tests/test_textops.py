@@ -35,6 +35,45 @@ def test_minhash_equals_bruteforce(spark, docs):
     assert key(exact) == key(lsh)
 
 
+def test_lsh_candidate_bound_under_background_similarity(spark):
+    """b x r banding must NOT degenerate toward the all-pairs join on a
+    corpus with moderate background similarity (s ~ 0.2-0.4): with r=4 rows
+    per band, P(candidate) = 1-(1-s^4)^16 < 12% at s=0.3, while the r=1
+    banding of round 1 admitted ~97% of pairs at s=0.2."""
+    import itertools
+    from random import Random
+
+    from codegraph.textops import jaccard_pairs, lsh_candidates, minhash_lsh_pairs
+
+    rng = Random(7)
+    pool = [f"word{i:03d}" for i in range(60)]
+    rows = []
+    # 80 docs drawing ~40 words from a shared pool -> pairwise shingle
+    # overlap concentrates around s ~ 0.2-0.4
+    for d in range(80):
+        words = [pool[rng.randrange(len(pool))] for _ in range(40)]
+        rows.append((d, " ".join(words)))
+    # plant 3 true near-dup pairs (s >= 0.9): copy with one word changed
+    for j, d in enumerate(range(100, 103)):
+        base = rows[j][1].split()
+        base[5] = "changed"
+        rows.append((d, rows[j][1]))
+        rows.append((d + 50, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    cands = lsh_candidates(docs).count()
+    assert cands < 0.2 * all_pairs, (
+        f"candidate join degenerated: {cands} of {all_pairs}")
+    # the planted near-dups still survive prefilter + exact verify
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs).collect()}
+    planted = {(100, 150), (101, 151), (102, 152)}
+    assert planted <= lsh
+    assert lsh == exact
+
+
 def test_simhash_near_dup_distance(spark, docs):
     from codegraph.textops import jaccard_pairs, simhash
 
