@@ -301,6 +301,15 @@ def _q_kg_invokes_edges(spark, sf_dir):
             .select("repo", "src_key", "dst_key"))
 
 
+def _q_kg_operator_invokes(spark, sf_dir):
+    # user-defined operator / conversion / method-group INVOKES survivors
+    # (MemberDependencyExtractor.cs:77-230 surface)
+    res = _pipeline_result(spark, sf_dir)
+    return (res["linked"]
+            .filter("rel_type = 'src__INVOKES' AND dst_key LIKE '%operator %'")
+            .select("repo", "src_key", "dst_key"))
+
+
 def _q_kg_depends_edges(spark, sf_dir):
     # in-repo type->type DEPENDS_ON survivors of the dangling drop
     res = _pipeline_result(spark, sf_dir)
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_commit_stats": _q_kg_commit_stats,
         "kg_contains_edges": _q_kg_contains_edges,
         "kg_invokes_edges": _q_kg_invokes_edges,
+        "kg_operator_invokes": _q_kg_operator_invokes,
         "kg_depends_edges": _q_kg_depends_edges,
         "kg_node_counts": _q_kg_node_counts,
         "kg_cc": _q_kg_cc,

@@ -45,7 +45,11 @@ def run_kg_pipeline(spark, fixture_dir: str):
     try:
         filtered = P.discover(src)
         target = spark.sparkContext.defaultParallelism
-        if filtered.rdd.getNumPartitions() < target:
+        try:
+            n_inputs = len(filtered.inputFiles())
+        except Exception:
+            n_inputs = target
+        if n_inputs < target:
             filtered = filtered.repartition(target)
         _extract_stage(filtered, pm).write.mode("overwrite").parquet(tmp)
         records = spark.read.parquet(tmp)

@@ -5,26 +5,37 @@ MemberDependencyExtractor + SymbolMapper
 (/root/reference/src/CodeToNeo4j/Technologies/DotNet/CSharp/*.cs,
  Graph/Mapping/SymbolMapper.cs) over a documented C# subset:
 
-* one file-scoped (or block) namespace per file, no nested types,
-  no overloads, at most one constructor per type, member declarations from a
-  fixed menu of single-signature-line shapes.
+* one file-scoped (or block) namespace per file; nested types one level deep
+  (DescendantNodes visits them as their own BaseTypeDeclarationSyntax AND as
+  a member of the outer type -> CONTAINS outer->nested,
+  RoslynSymbolProcessor.cs:103-113,288); generic type declarations display
+  their type parameters (``Ns.Box<T>``, SymbolMapper.cs:43-47);
+  multi-declarator field/event lines expand to one symbol per declarator
+  (RoslynSymbolProcessor.cs:216-262).
 * symbol keys: ``{repoKey}:{display}`` where display mirrors
   SymbolDisplayFormat.CSharpErrorMessageFormat for the subset —
   types ``Ns.Type``, members ``Ns.Type.Name``, methods/ctors
-  ``Ns.Type.Name(paramTok, ...)`` with parameter tokens as declared
-  (SymbolMapper.cs:43-47).
-* fqn: ``global::`` + display (FullyQualifiedFormat approximation).
-* kind = Roslyn SymbolKind.ToString(): NamedType/Method/Property/Field/Event;
-  klass = symbol.Name (SymbolMapper.cs:14).
-* documentation: text of ``///`` lines (subset stand-in for
-  GetDocumentationCommentXml); comments: leading ``//``/``/* */`` trivia
-  joined by newline (SymbolMapper.cs:64-77).
+  ``Ns.Type.Name(paramTok, ...)`` with parameter tokens as declared,
+  user-defined operators ``Ns.Type.operator +(T, T)`` and conversions
+  ``Ns.Type.implicit operator int(T)`` (MemberDependencyExtractorTests.cs
+  InlineData shapes :425-500,598-650). Conversion return tokens are assumed
+  non-dotted (keyword or bare in-repo name) in this subset.
+* kind = Roslyn SymbolKind.ToString(); operator/conversion symbols are
+  Methods named op_Addition/op_Implicit/... (IMethodSymbol.Name).
 * member-type dependencies (field/property/event/param/return) emit
-  DEPENDS_ON from the CONTAINING TYPE key (MemberDependencyExtractor.cs:232-292);
-  invocations emit INVOKES from the member key with per-member callee dedup
-  (:77-182,218-230). In-repo targets are resolved later (link.py) against the
-  broadcast symbol dictionary; known-external targets emit dangling keys that
-  the linking join drops (MergeRelationships.cypher:1-5).
+  DEPENDS_ON from the CONTAINING TYPE key (MemberDependencyExtractor.cs:232-302).
+* method bodies emit INVOKES with per-callee dedup for: invocations, object
+  creations, user-defined binary/prefix/postfix operators, explicit casts,
+  method groups outside invocation position, and user-defined implicit
+  conversions at initializer/argument/return positions
+  (MemberDependencyExtractor.cs:77-230). Locals are type-tracked through the
+  subset's statement shapes; argument types are classified from literals and
+  tracked identifiers so entity linking can do overload resolution on
+  parameter tokens (link.py).
+* ``global using`` directives are additionally emitted as ``global_using``
+  mention records: the reference resolves names against the COMPILATION's
+  global usings, i.e. every file in the repo (RoslynSymbolProcessor.cs:68-99),
+  which link.py replicates with a per-repo broadcast of global namespaces.
 * accessibility filter per AccessibilityFilter.cs:14-26 (explicit interface
   implementations always kept).
 """
@@ -51,18 +62,32 @@ EXTERNAL_TYPE_DISPLAY = {
     "DateTime": "System.DateTime",
     "TimeSpan": "System.TimeSpan",
     "Exception": "System.Exception",
+    "Action": "System.Action",
 }
 
-_RE_USING = re.compile(r"^\s*(global\s+)?using\s+(?:static\s+)?([\w.]+)\s*;")
+# Roslyn IMethodSymbol.Name for user-defined operators
+OP_NAMES = {
+    "+": "op_Addition", "-": "op_Subtraction", "*": "op_Multiply",
+    "/": "op_Division", "%": "op_Modulus", "==": "op_Equality",
+    "!=": "op_Inequality", ">": "op_GreaterThan", "<": "op_LessThan",
+    ">=": "op_GreaterThanOrEqual", "<=": "op_LessThanOrEqual",
+    "|": "op_BitwiseOr", "&": "op_BitwiseAnd", "^": "op_ExclusiveOr",
+    "!": "op_LogicalNot", "~": "op_OnesComplement",
+    "++": "op_Increment", "--": "op_Decrement",
+}
+_CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
+
+_RE_USING = re.compile(r"^\s*(?P<glob>global\s+)?using\s+(?:static\s+)?([\w.]+)\s*;")
 _RE_NAMESPACE = re.compile(r"^\s*namespace\s+([\w.]+)\s*[;{]?\s*$")
 _RE_TYPE = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
     r"(?:sealed\s+|abstract\s+|static\s+|partial\s+)*"
     r"(?P<tkind>class|interface|struct|record|enum)\s+(?P<name>\w+)"
+    r"(?P<targs><[\w, ]+>)?"
 )
 _RE_EVENT = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*(?:static\s+)?"
-    r"event\s+(?P<type>[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*;"
+    r"event\s+(?P<type>[\w.<>\[\]?]+)\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*;"
 )
 _RE_PROPERTY = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*(?:static\s+|virtual\s+|override\s+)*"
@@ -71,7 +96,17 @@ _RE_PROPERTY = re.compile(
 _RE_FIELD = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
     r"(?:static\s+|readonly\s+|const\s+)*"
-    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*(?:=[^;]*)?;"
+    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*(?:=[^;]*)?;"
+)
+_RE_OPERATOR = re.compile(
+    r"^\s*(?P<acc>public|internal|private|protected)?\s*static\s+"
+    r"(?P<ret>[\w.<>\[\]?]+)\s+operator\s*(?P<op>\+\+|--|[+\-*/%^&|!~]|[<>=!]=?=?)"
+    r"\s*\((?P<params>[^)]*)\)"
+)
+_RE_CONVERSION = re.compile(
+    r"^\s*(?P<acc>public|internal|private|protected)?\s*static\s+"
+    r"(?P<ckind>implicit|explicit)\s+operator\s+(?P<ret>[\w.<>\[\]?]+)"
+    r"\s*\((?P<params>[^)]*)\)"
 )
 _RE_METHOD = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
@@ -84,12 +119,22 @@ _RE_COMMENT = re.compile(r"^\s*(//(?!/).*|/\*.*\*/)\s*$")
 # body statement shapes
 _RE_NEW = re.compile(r"\bnew\s+([\w.]+)\s*\(([^)]*)\)")
 _RE_CALL = re.compile(r"(?<![\w.])(?:(?P<recv>this|[\w]+)\.)?(?P<name>\w+)\s*\(([^)]*)\)")
+_RE_LOCAL = re.compile(
+    r"^\s*(?P<tok>var|[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*=\s*(?P<rhs>[^;]+);")
+_RE_BIN = re.compile(
+    r"^(?P<a>\w+)\s*(?P<op>\+|-|\*|/|%|==|!=|>=|<=|>|<|\||&|\^)\s*(?P<b>\w+)$")
+_RE_PRE = re.compile(r"^(?P<op>\+\+|--|!|~|-)\s*(?P<a>\w+)$")
+_RE_POST = re.compile(r"^(?P<a>\w+)\s*(?P<op>\+\+|--)$")
+_RE_CASTX = re.compile(r"^\((?P<t>[\w.<>\[\]?]+)\)\s*(?P<e>\w+|\d+)$")
+_RE_RET = re.compile(r"^\s*return\s+(?P<e>\w+)\s*;")
+_RE_IDENT = re.compile(r"^\w+$")
 
 _MODIFIER_WORDS = {
     "public", "internal", "private", "protected", "static", "readonly", "const",
     "sealed", "abstract", "partial", "virtual", "override", "async", "event",
     "class", "interface", "struct", "record", "enum", "using", "namespace",
     "return", "new", "var", "if", "while", "for", "foreach", "else", "get", "set",
+    "operator", "implicit", "explicit",
 }
 
 
@@ -98,6 +143,11 @@ def _count_args(argstr: str) -> int:
     if not s:
         return 0
     return s.count(",") + 1
+
+
+def _split_args(argstr: str) -> list[str]:
+    s = argstr.strip()
+    return [a.strip() for a in s.split(",")] if s else []
 
 
 def _acc_name(tok: str | None, default: str) -> str:
@@ -114,12 +164,26 @@ def _passes(acc: str, min_acc: int, explicit_iface: bool = False) -> bool:
     return not (a < min_acc and a != ACC_NOT_APPLICABLE and not explicit_iface)
 
 
-class _Type:
-    __slots__ = ("name", "kind", "ns", "acc", "start", "end", "doc", "comments",
-                 "display", "key", "members", "fields", "is_enum", "is_interface")
+def _parse_params(pstr: str) -> list[tuple[str, str]]:
+    params = []
+    pstr = pstr.strip()
+    if pstr:
+        for p in pstr.split(","):
+            toks = p.strip().split()
+            if len(toks) >= 2:
+                params.append((toks[-2], toks[-1]))  # (type, name)
+    return params
 
-    def __init__(self, name, kind, ns, acc, start, doc, comments, repo):
+
+class _Type:
+    __slots__ = ("name", "name_tok", "kind", "ns", "acc", "start", "end",
+                 "doc", "comments", "display", "key", "members", "fields",
+                 "is_enum", "is_interface", "parent", "body_depth")
+
+    def __init__(self, name, name_tok, kind, ns, acc, start, doc, comments,
+                 repo, parent: "_Type | None" = None):
         self.name = name
+        self.name_tok = name_tok      # includes <T...> for generic decls
         self.kind = kind
         self.ns = ns
         self.acc = acc
@@ -127,12 +191,17 @@ class _Type:
         self.end = start
         self.doc = doc
         self.comments = comments
-        self.display = f"{ns}.{name}" if ns else name
+        if parent is not None:
+            self.display = f"{parent.display}.{name_tok}"
+        else:
+            self.display = f"{ns}.{name_tok}" if ns else name_tok
         self.key = keys.csharp_key(repo, self.display)
         self.members = []
         self.fields = {}  # field name -> declared type token
         self.is_enum = kind == "enum"
         self.is_interface = kind == "interface"
+        self.parent = parent
+        self.body_depth = 0
 
 
 def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
@@ -142,13 +211,15 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
 
     file_ns: str | None = None
     usings: list[str] = []
-    types: list[_Type] = []
+    global_usings: list[str] = []
 
     # --- pass 1: usings + namespace --------------------------------------
     for ln in lines:
         m = _RE_USING.match(ln)
         if m:
             usings.append(m.group(2))
+            if m.group("glob"):
+                global_usings.append(m.group(2))
             continue
         m = _RE_NAMESPACE.match(ln)
         if m:
@@ -157,9 +228,9 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
     # --- pass 2: types, members, bodies ----------------------------------
     doc_buf: list[str] = []
     com_buf: list[str] = []
-    cur: _Type | None = None
+    types: list[_Type] = []
+    tstack: list[_Type] = []
     depth = 0
-    type_depth = -1
     i = 0
     pending_member = None  # (member dict) awaiting body lines
     body_buf: list[str] = []
@@ -171,6 +242,10 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
         doc_buf.clear()
         com_buf.clear()
         return doc, com
+
+    def close_type(t: _Type, lineno: int):
+        t.end = lineno
+        types.append(t)
 
     while i < n:
         raw = lines[i]
@@ -197,35 +272,37 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             if depth <= body_open_depth:
                 pending_member["end"] = lineno
                 pending_member["body"] = "\n".join(body_buf)
-                cur.members.append(pending_member)
+                tstack[-1].members.append(pending_member)
                 pending_member = None
                 body_buf = []
             i += 1
             continue
 
         mt = _RE_TYPE.match(raw)
-        if mt and cur is None:
+        if mt:
             doc, com = flush_trivia()
-            acc = _acc_name(mt.group("acc"), "Internal")
-            cur = _Type(mt.group("name"), mt.group("tkind"), file_ns or "", acc,
-                        lineno, doc, com, repo)
+            acc = _acc_name(mt.group("acc"), "Internal" if not tstack else "Private")
+            parent = tstack[-1] if tstack else None
+            name_tok = mt.group("name") + (mt.group("targs") or "")
+            t = _Type(mt.group("name"), name_tok, mt.group("tkind"),
+                      file_ns or "", acc, lineno, doc, com, repo, parent)
             # type body: wait for open brace
             depth += opens - closes
-            # find the opening brace depth (may be on this or a later line)
             while "{" not in raw:
                 i += 1
                 raw = lines[i]
                 depth += raw.count("{") - raw.count("}")
-            type_depth = depth - 1
+            t.body_depth = depth - 1
+            tstack.append(t)
             i += 1
             continue
 
-        if cur is not None:
+        if tstack:
+            cur = tstack[-1]
             depth += opens - closes
-            if closes and depth <= type_depth:
-                cur.end = lineno
-                types.append(cur)
-                cur = None
+            if closes and depth <= cur.body_depth:
+                close_type(cur, lineno)
+                tstack.pop()
                 flush_trivia()
                 i += 1
                 continue
@@ -245,12 +322,14 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             mev = _RE_EVENT.match(raw)
             if mev:
                 doc, com = flush_trivia()
-                cur.members.append({
-                    "mkind": "Event", "name": mev.group("name"),
-                    "type": mev.group("type"),
-                    "acc": _acc_name(mev.group("acc"), "Private"),
-                    "start": lineno, "end": lineno, "doc": doc, "com": com,
-                })
+                # multi-declarator event: one IEventSymbol per variable
+                for name in re.split(r"\s*,\s*", mev.group("names")):
+                    cur.members.append({
+                        "mkind": "Event", "name": name,
+                        "type": mev.group("type"),
+                        "acc": _acc_name(mev.group("acc"), "Private"),
+                        "start": lineno, "end": lineno, "doc": doc, "com": com,
+                    })
                 i += 1
                 continue
 
@@ -264,7 +343,33 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                                      "Public" if cur.is_interface else "Private"),
                     "start": lineno, "end": lineno, "doc": doc, "com": com,
                 })
-                # single-line auto-property: braces balanced on the line
+                i += 1
+                continue
+
+            mconv = _RE_CONVERSION.match(raw)
+            mop = _RE_OPERATOR.match(raw) if not mconv else None
+            if mconv or mop:
+                doc, com = flush_trivia()
+                m = mconv or mop
+                member = {
+                    "mkind": "Conversion" if mconv else "Operator",
+                    "ckind": mconv.group("ckind") if mconv else None,
+                    "op": mop.group("op") if mop else None,
+                    "ret": m.group("ret"),
+                    "params": _parse_params(m.group("params")),
+                    "acc": _acc_name(m.group("acc"), "Private"),
+                    "start": lineno, "end": lineno, "doc": doc, "com": com,
+                    "body": "",
+                }
+                if "=>" in raw or (raw.count("{") > 0 and raw.count("{") == raw.count("}")):
+                    member["body"] = raw
+                    cur.members.append(member)
+                elif stripped.endswith(";"):
+                    cur.members.append(member)
+                else:
+                    pending_member = member
+                    body_open_depth = depth
+                    body_buf = []
                 i += 1
                 continue
 
@@ -276,18 +381,11 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 doc, com = flush_trivia()
                 name = mm.group("name")
                 is_ctor = mm.group("ret") is None and name == cur.name
-                params = []
-                pstr = mm.group("params").strip()
-                if pstr:
-                    for p in pstr.split(","):
-                        toks = p.strip().split()
-                        if len(toks) >= 2:
-                            params.append((toks[-2], toks[-1]))  # (type, name)
                 explicit_iface = "." in name
                 default_acc = "Public" if cur.is_interface else "Private"
                 member = {
                     "mkind": "Method", "name": name, "is_ctor": is_ctor,
-                    "params": params,
+                    "params": _parse_params(mm.group("params")),
                     "ret": None if is_ctor else (mm.group("ret") or "void"),
                     "acc": _acc_name(mm.group("acc"), default_acc),
                     "explicit_iface": explicit_iface,
@@ -301,10 +399,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                     cur.members.append(member)  # interface member, no body
                 else:
                     pending_member = member
-                    body_open_depth = depth if "{" in raw else depth
-                    if "{" not in raw:
-                        # signature line without brace: body starts next line
-                        body_open_depth = depth
+                    body_open_depth = depth
                     body_buf = []
                 i += 1
                 continue
@@ -312,13 +407,16 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             mf = _RE_FIELD.match(raw)
             if mf and mf.group("type") not in _MODIFIER_WORDS:
                 doc, com = flush_trivia()
-                cur.members.append({
-                    "mkind": "Field", "name": mf.group("name"),
-                    "type": mf.group("type"),
-                    "acc": _acc_name(mf.group("acc"), "Private"),
-                    "start": lineno, "end": lineno, "doc": doc, "com": com,
-                })
-                cur.fields[mf.group("name")] = mf.group("type")
+                # multi-declarator field: one IFieldSymbol per variable
+                # (RoslynSymbolProcessor.cs:216-240)
+                for name in re.split(r"\s*,\s*", mf.group("names")):
+                    cur.members.append({
+                        "mkind": "Field", "name": name,
+                        "type": mf.group("type"),
+                        "acc": _acc_name(mf.group("acc"), "Private"),
+                        "start": lineno, "end": lineno, "doc": doc, "com": com,
+                    })
+                    cur.fields[name] = mf.group("type")
                 i += 1
                 continue
 
@@ -331,12 +429,18 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             flush_trivia()
         i += 1
 
-    if cur is not None:  # unterminated type — tolerate
-        cur.end = n
-        types.append(cur)
+    if pending_member is not None and tstack:
+        # unterminated member body at EOF — keep the declaration (Roslyn
+        # error-recovery still yields the symbol)
+        pending_member["end"] = n
+        pending_member["body"] = "\n".join(body_buf)
+        tstack[-1].members.append(pending_member)
+    while tstack:  # unterminated type — tolerate
+        close_type(tstack.pop(), n)
 
     # --- emission ---------------------------------------------------------
-    first_type_ns = types[0].ns if types else None
+    top_types = [t for t in types if t.parent is None]
+    first_type_ns = top_types[0].ns if top_types else (types[0].ns if types else None)
     # file namespace override (CSharpHandler.cs:36-42)
     em.filemeta(first_type_ns)
 
@@ -352,20 +456,37 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             continue
         seen_using.add(u)
         em.mention("using", file_key, R_DEPENDS_ON, u, None, [], None)
+    # global usings feed the repo-wide candidate-namespace pool
+    # (compilation-level lookup, RoslynSymbolProcessor.cs:68-99)
+    for u in dict.fromkeys(global_usings):
+        em.mention("global_using", file_key, R_DEPENDS_ON, u, None, [], None)
 
     for t in types:
         if not _passes(t.acc, min_acc):
             continue
         em.symbol(t.key, t.name, "NamedType", t.name, f"global::{t.display}",
                   t.acc, t.ns or None, t.start, t.end, t.doc, t.comments)
+        if t.parent is not None:
+            # nested type is also a member of the outer type -> CONTAINS
+            # (ProcessMemberSymbol over tds.Members, RoslynSymbolProcessor.cs:288)
+            em.rel(t.parent.key, t.key, R_CONTAINS)
+
+        # own-type method signature map (overload-aware; used for method
+        # groups and same-class argument conversions)
+        type_sigs: dict[str, list[list[str]]] = {}
+        for mrec in t.members:
+            if mrec["mkind"] == "Method" and not mrec.get("is_ctor"):
+                type_sigs.setdefault(mrec["name"], []).append(
+                    [p[0] for p in mrec["params"]])
 
         for mrec in t.members:
             acc = mrec["acc"]
             if not _passes(acc, min_acc, mrec.get("explicit_iface", False)):
                 continue
             mk = mrec["mkind"]
-            name = mrec["name"]
+
             if mk == "EnumMember":
+                name = mrec["name"]
                 display = f"{t.display}.{name}"
                 key = keys.csharp_key(repo, display)
                 em.symbol(key, name, "Field", name, f"global::{display}", "Public",
@@ -373,15 +494,20 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 em.rel(t.key, key, R_CONTAINS)
                 continue
 
-            if mk == "Method":
-                if mrec["is_ctor"]:
-                    ptoks = [p[0] for p in mrec["params"]]
+            if mk in ("Method", "Operator", "Conversion"):
+                ptoks = [p[0] for p in mrec["params"]]
+                if mk == "Method":
+                    name = mrec["name"]
                     display = f"{t.display}.{name}({', '.join(ptoks)})"
-                    sym_name = ".ctor"  # Roslyn IMethodSymbol.Name for constructors
-                else:
-                    ptoks = [p[0] for p in mrec["params"]]
-                    display = f"{t.display}.{name}({', '.join(ptoks)})"
-                    sym_name = name
+                    sym_name = ".ctor" if mrec["is_ctor"] else name
+                elif mk == "Operator":
+                    op = mrec["op"]
+                    display = f"{t.display}.operator {op}({', '.join(ptoks)})"
+                    sym_name = OP_NAMES.get(op, f"op_{op}")
+                else:  # Conversion
+                    display = (f"{t.display}.{mrec['ckind']} operator "
+                               f"{mrec['ret']}({', '.join(ptoks)})")
+                    sym_name = "op_Implicit" if mrec["ckind"] == "implicit" else "op_Explicit"
                 key = keys.csharp_key(repo, display)
                 em.symbol(key, sym_name, "Method", sym_name, f"global::{display}",
                           acc, member_ns, mrec["start"], mrec["end"],
@@ -392,13 +518,14 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 for ptok, _pn in mrec["params"]:
                     _emit_type_dep(em, repo, t.key, ptok, cand_ns)
                 # return-type dep for non-ctors (:245-253)
-                if not mrec["is_ctor"] and mrec["ret"]:
+                if mrec.get("ret"):
                     _emit_type_dep(em, repo, t.key, mrec["ret"], cand_ns)
-                # body invokes (:77-182)
-                _emit_invokes(em, repo, key, t, mrec.get("body", ""), cand_ns)
+                # body INVOKES surface (:77-230)
+                _analyze_body(em, repo, key, t, mrec, cand_ns, type_sigs)
                 continue
 
             # Property / Field / Event: type dep from containing type
+            name = mrec["name"]
             display = f"{t.display}.{name}"
             key = keys.csharp_key(repo, display)
             em.symbol(key, name, mk, name, f"global::{display}", acc,
@@ -424,12 +551,39 @@ def _emit_type_dep(em: Emitter, repo: str, from_key: str, tok: str,
         em.mention("type", from_key, R_DEPENDS_ON, tok, None, cand_ns, None)
 
 
-def _emit_invokes(em: Emitter, repo: str, caller_key: str, t: _Type,
-                  body: str, cand_ns: list[str]) -> None:
+def _is_keywordish(tok: str | None) -> bool:
+    return (tok is None or tok in KEYWORD_TYPES or tok in EXTERNAL_TYPE_DISPLAY
+            or tok.startswith("System."))
+
+
+def _classify_arg(a: str, locals_: dict, fields: dict, own_display: str) -> str:
+    """Argument type token for overload matching ('?' = unknown)."""
+    a = a.strip()
+    if not a:
+        return "?"
+    if re.fullmatch(r"\d+", a):
+        return "int"
+    if re.fullmatch(r"\d+\.\d+[fdm]?", a):
+        return "double"
+    if a.startswith('"'):
+        return "string"
+    if a in ("true", "false"):
+        return "bool"
+    if a == "this":
+        return own_display.split(".")[-1]
+    t = locals_.get(a) or fields.get(a)
+    return t.rstrip("?") if t else "?"
+
+
+def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
+                  mrec: dict, cand_ns: list[str], type_sigs: dict) -> None:
     """INVOKES edges from method bodies with per-callee dedup
-    (MemberDependencyExtractor.cs:90,218-230). Receivers are classified at
-    lex time: this/bare -> own type; field -> declared field type token;
-    known-external -> dangling direct edge; unknown locals -> dangling."""
+    (MemberDependencyExtractor.cs:90,218-230). Covers the full
+    ExtractMethodExecutes surface over the subset's statement shapes:
+    invocations, object creations, user-defined binary/prefix/postfix
+    operators, explicit casts, method groups outside invocation position,
+    and implicit conversions at initializer/argument/return positions."""
+    body = mrec.get("body", "")
     if not body:
         return
     seen: set[tuple] = set()
@@ -439,9 +593,96 @@ def _emit_invokes(em: Emitter, repo: str, caller_key: str, t: _Type,
     else:
         text = body.split(")", 1)[1] if ")" in body else body
 
+    locals_: dict[str, str] = {pn: ptok for ptok, pn in mrec.get("params", [])}
+    ret_tok = (mrec.get("ret") or "").rstrip("?") or None
+
+    def type_of(ident: str) -> str | None:
+        tok = locals_.get(ident) or t.fields.get(ident)
+        return tok.rstrip("?") if tok else None
+
+    def mention_once(kind, name, recv, nargs=None, args=None):
+        k = (kind, name, recv, nargs, tuple(args) if args else None)
+        if k in seen:
+            return
+        seen.add(k)
+        em.mention(kind, caller_key, R_INVOKES, name, recv, cand_ns, nargs,
+                   m_args=args)
+
+    def conv(kind: str, target_tok: str, operand_type: str | None):
+        """User-defined conversion mention: search the operand type and (for
+        in-repo targets) the target type for implicit/explicit operator
+        members (Conversion MethodKind, MemberDependencyExtractor.cs:130-139,
+        184-193)."""
+        target_tok = target_tok.rstrip("?")
+        if operand_type == target_tok:
+            return  # identity, no conversion
+        mention_once(kind, target_tok, operand_type)
+
+    # --- statement pass: local type tracking + non-invocation INVOKES ------
+    for raw_line in text.split("\n"):
+        s = raw_line.strip()
+        ml = _RE_LOCAL.match(s)
+        if ml:
+            tok, name, rhs = ml.group("tok"), ml.group("name"), ml.group("rhs").strip()
+            declared = None if tok == "var" else tok.rstrip("?")
+            inferred: str | None = None
+            if rhs.startswith("new "):
+                mnew = _RE_NEW.match(rhs)
+                inferred = mnew.group(1) if mnew else None
+                # the ctor INVOKES itself comes from the _RE_NEW scan below
+            elif _RE_CASTX.match(rhs):
+                mc = _RE_CASTX.match(rhs)
+                target, operand = mc.group("t"), mc.group("e")
+                op_type = type_of(operand) if _RE_IDENT.match(operand) and not operand.isdigit() else None
+                if not (_is_keywordish(target.rstrip("?")) and _is_keywordish(op_type)):
+                    conv("conv_expl", target, op_type)
+                inferred = target.rstrip("?")
+            elif _RE_BIN.match(rhs):
+                mb = _RE_BIN.match(rhs)
+                ta, tb = type_of(mb.group("a")), type_of(mb.group("b"))
+                opt = ta if not _is_keywordish(ta) else (tb if not _is_keywordish(tb) else None)
+                if opt:
+                    mention_once("op", f"operator {mb.group('op')}", opt, 2, [opt, opt])
+                    inferred = "bool" if mb.group("op") in _CMP_OPS else opt
+            elif _RE_PRE.match(rhs):
+                mp = _RE_PRE.match(rhs)
+                ta = type_of(mp.group("a"))
+                if not _is_keywordish(ta):
+                    mention_once("op", f"operator {mp.group('op')}", ta, 1, [ta])
+                    inferred = "bool" if mp.group("op") == "!" else ta
+            elif _RE_POST.match(rhs):
+                mp = _RE_POST.match(rhs)
+                ta = type_of(mp.group("a"))
+                if not _is_keywordish(ta):
+                    mention_once("op", f"operator {mp.group('op')}", ta, 1, [ta])
+                    inferred = ta
+            elif _RE_IDENT.match(rhs):
+                if rhs in type_sigs:
+                    # method group outside invocation position -> INVOKES
+                    # (IdentifierNameSyntax !IsInvocationTarget, :158-176)
+                    mention_once("invoke", rhs, t.display, None, None)
+                else:
+                    rt = type_of(rhs)
+                    if declared and rt and not _is_keywordish(rt):
+                        # implicit conversion at initializer (EqualsValueClause)
+                        conv("conv_impl", declared, rt)
+                    inferred = rt
+            locals_[name] = declared or inferred or ""
+            continue
+        mr = _RE_RET.match(s)
+        if mr and ret_tok and ret_tok != "void":
+            rt = type_of(mr.group("e"))
+            if rt and not _is_keywordish(rt):
+                # implicit conversion at return position
+                conv("conv_impl", ret_tok, rt)
+
+    # --- invocation pass ----------------------------------------------------
     for m in _RE_NEW.finditer(text):
-        tok, nargs = m.group(1), _count_args(m.group(2))
-        k = ("new", tok, nargs)
+        tok, argstr = m.group(1), m.group(2)
+        nargs = _count_args(argstr)
+        args = [_classify_arg(a, locals_, t.fields, t.display)
+                for a in _split_args(argstr)]
+        k = ("new", tok, nargs, tuple(args))
         if k in seen:
             continue
         seen.add(k)
@@ -450,34 +691,56 @@ def _emit_invokes(em: Emitter, repo: str, caller_key: str, t: _Type,
             em.rel(caller_key, keys.csharp_key(repo, f"{disp}.{disp.split('.')[-1]}(…)"),
                    R_INVOKES)
         else:
-            em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns, nargs)
+            em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns, nargs,
+                       m_args=args)
 
     for m in _RE_CALL.finditer(text):
-        recv, name, nargs = m.group("recv"), m.group("name"), _count_args(m.group(3))
+        recv, name, argstr = m.group("recv"), m.group("name"), m.group(3)
+        nargs = _count_args(argstr)
         if name in _MODIFIER_WORDS or (recv is None and name in _MODIFIER_WORDS):
             continue
         # skip the `new X(...)` matches already handled
         pre = text[max(0, m.start() - 4):m.start()]
         if pre.endswith("new ") or pre.endswith("new"):
             continue
-        k = ("call", recv, name, nargs)
+        arg_list = _split_args(argstr)
+        args = [_classify_arg(a, locals_, t.fields, t.display) for a in arg_list]
+        # seen-key includes classified arg tokens: calls that resolve to
+        # DIFFERENT overloads must each survive (per-callee dedup happens on
+        # resolved keys, AddInvokes:218-230 / link_edges distinct)
+        k = ("call", recv, name, nargs, tuple(args))
         if k in seen:
             continue
         seen.add(k)
         if recv is None or recv == "this":
             # own-type call: resolve against own type display directly
-            em.mention("invoke", caller_key, R_INVOKES, name, t.display, [], nargs)
-        elif recv in t.fields:
-            ftok = t.fields[recv].rstrip("?")
+            em.mention("invoke", caller_key, R_INVOKES, name, t.display, [],
+                       nargs, m_args=args)
+            # implicit conversions at ARGUMENT position against the own-type
+            # overload whose arity matches (ArgumentSyntax candidates, :184-193)
+            for sig in type_sigs.get(name, []):
+                if len(sig) != nargs:
+                    continue
+                for ptok, atok in zip(sig, args):
+                    if (_is_keywordish(ptok.rstrip("?")) and atok not in ("?", "")
+                            and not _is_keywordish(atok)):
+                        conv("conv_impl", ptok, atok)
+        elif recv in t.fields or recv in locals_:
+            ftok = (t.fields.get(recv) or locals_.get(recv, "")).rstrip("?")
             if ftok in KEYWORD_TYPES or ftok in EXTERNAL_TYPE_DISPLAY or ftok.startswith("System."):
                 disp = EXTERNAL_TYPE_DISPLAY.get(ftok, ftok)
                 em.rel(caller_key, keys.csharp_key(repo, f"{disp}.{name}(…)"), R_INVOKES)
+            elif ftok:
+                em.mention("invoke_via", caller_key, R_INVOKES, name, ftok,
+                           cand_ns, nargs, m_args=args)
             else:
-                em.mention("invoke_via", caller_key, R_INVOKES, name, ftok, cand_ns, nargs)
+                em.mention("invoke_static", caller_key, R_INVOKES, name, recv,
+                           cand_ns, nargs, m_args=args)
         elif recv in EXTERNAL_TYPE_DISPLAY or recv.startswith("System."):
             disp = EXTERNAL_TYPE_DISPLAY.get(recv, recv)
             em.rel(caller_key, keys.csharp_key(repo, f"{disp}.{name}(…)"), R_INVOKES)
         else:
             # static call on an in-repo type? try resolving the receiver as a
             # type; locals/params fall through to a dangling key at link time
-            em.mention("invoke_static", caller_key, R_INVOKES, name, recv, cand_ns, nargs)
+            em.mention("invoke_static", caller_key, R_INVOKES, name, recv,
+                       cand_ns, nargs, m_args=args)

@@ -133,6 +133,20 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             "has_enum": rng.random() < 0.3,
             "has_prop2": rng.random() < 0.6,
             "has_event": rng.random() < 0.5,
+            # user-defined operators / conversions (MemberDependencyExtractor
+            # surface: binary op, prefix op, implicit + explicit conversion)
+            "has_ops": rng.random() < 0.30,
+            # method-group assignment (Action go = Run;)
+            "has_hook": rng.random() < 0.25,
+            # arity + same-arity overload pairs resolved by param tokens
+            "has_overload": rng.random() < 0.40,
+            # multi-declarator field (two IFieldSymbols from one declaration)
+            "has_multi": rng.random() < 0.35,
+            # nested type with its own member (CONTAINS outer->Inner->Size)
+            "has_nested": rng.random() < 0.25,
+            # constructed-generic field (DEPENDS_ON Box<int> dangles like
+            # the reference: the declared symbol key is Box<T>)
+            "has_box": rng.random() < 0.30,
             # "System" always present: EventHandler / Console need it to
             # resolve, keeping the subset compile-clean under Roslyn rules
             "ext_usings": ["System"] + rng.sample(EXTERNAL_USINGS[1:], k=rng.randint(0, 2)),
@@ -146,6 +160,11 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
         ns0 = group[0]["ns"]
         for g in group:
             g["ns"] = ns0
+    # repo-wide global using: one namespace every file may lean on without a
+    # local using directive (RoslynSymbolProcessor.cs:68-99)
+    global_ns = namespaces[1 % len(namespaces)]
+    box_ns = namespaces[0]
+
     by_idx = {c["idx"]: c for c in classes}
     for c in classes:
         d = by_idx.get(c["dep"]) if c["dep"] is not None else None
@@ -155,6 +174,10 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
         # invocation stays type-correct in the C# subset (overload resolution
         # would otherwise fail in Roslyn and emit no INVOKES edge)
         c["dep_ctor_zero_args"] = bool(d and d["has_ctor"] and d["dep"] is None)
+        # operator/conversion usage sites need the dep type to declare them
+        c["dep_has_ops"] = bool(d and d["has_ops"])
+        c["global_ns"] = global_ns
+        c["box_ns"] = box_ns
 
     files = []
     for group in groups:
@@ -163,6 +186,14 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             "kind": "csharp", "lang": "csharp",
             "path": f"src/{app_ns}/{mod}/{group[0]['name']}.cs", "clses": group,
         })
+    files.append({
+        "kind": "csharp_box", "lang": "csharp",
+        "path": f"src/{app_ns}/{box_ns.split('.')[-1]}/Box.cs", "ns": box_ns,
+    })
+    files.append({
+        "kind": "csharp_globalusings", "lang": "csharp",
+        "path": f"src/{app_ns}/GlobalUsings.cs", "ns": global_ns,
+    })
 
     npm = rng.sample(NPM_PKGS, k=rng.randint(2, 4))
     nuget = rng.sample(NUGET_PKGS, k=rng.randint(2, 3))
@@ -239,8 +270,14 @@ def _render_csharp(spec: dict) -> str:
         for u in c["ext_usings"]:
             if u not in usings:
                 usings.append(u)
-        if c["dep_ns"] and c["dep_ns"] != ns and c["dep_ns"] not in usings:
+        # dep namespaces covered by the repo-wide global using are NOT
+        # locally imported — resolution must go through GlobalUsings.cs
+        if (c["dep_ns"] and c["dep_ns"] != ns and c["dep_ns"] != c["global_ns"]
+                and c["dep_ns"] not in usings):
             usings.append(c["dep_ns"])
+        if (c.get("has_box") and c["box_ns"] != ns and c["box_ns"] != c["global_ns"]
+                and c["box_ns"] not in usings):
+            usings.append(c["box_ns"])
     lines = []
     for u in usings:
         lines.append(f"using {u};")
@@ -264,6 +301,10 @@ def _render_one_class(c: dict) -> list:
     dep = c["dep_name"]
     if dep:
         lines.append(f"    private readonly {dep} _dep;")
+    if c.get("has_box"):
+        lines.append("    private readonly Box<int> _box;")
+    if c.get("has_multi"):
+        lines.append("    private int _w0, _w1;")
     lines.append("    public int Count { get; set; }")
     if c["has_prop2"] and dep:
         lines.append(f"    public {dep} Item {{ get; set; }}")
@@ -293,15 +334,84 @@ def _render_one_class(c: dict) -> list:
     lines.append("        this.Run();")
     lines.append("        return id.ToString();")
     lines.append("    }")
+    if c.get("has_overload"):
+        # arity overload of Get + a same-arity pair resolved by param tokens
+        lines.append("    public string Get(int id, string tag)")
+        lines.append("    {")
+        lines.append("        Run();")
+        lines.append("        return tag;")
+        lines.append("    }")
+        lines.append("    public void Tag(int v)")
+        lines.append("    {")
+        lines.append("        Run();")
+        lines.append("    }")
+        lines.append("    public void Tag(string v)")
+        lines.append("    {")
+        lines.append("        this.Run();")
+        lines.append("    }")
+        lines.append("    public void UseOverloads()")
+        lines.append("    {")
+        lines.append("        Get(1);")
+        lines.append('        Get(2, "x");')
+        lines.append("        Tag(3);")
+        lines.append('        Tag("y");')
+        lines.append("    }")
     if dep:
         lines.append(f"    internal int Measure({dep} item, double scale)")
         lines.append("    {")
         lines.append("        Run();")
         lines.append("        return Count;")
         lines.append("    }")
+    if c.get("dep_has_ops") and dep:
+        # user-defined operator / conversion USE sites: binary op, prefix op,
+        # explicit cast, implicit conversions at initializer/argument/return
+        lines.append(f"    public int Combine({dep} x, {dep} y)")
+        lines.append("    {")
+        lines.append("        var z = x + y;")
+        lines.append("        var f = !x;")
+        lines.append(f"        var k = ({dep})7;")
+        lines.append("        int n = x;")
+        lines.append("        Apply(y);")
+        lines.append("        return z;")
+        lines.append("    }")
+        lines.append("    private void Apply(int v)")
+        lines.append("    {")
+        lines.append("    }")
+    if c.get("has_hook"):
+        # method group outside invocation position
+        lines.append("    public void Hook()")
+        lines.append("    {")
+        lines.append("        Action go = Run;")
+        lines.append("        go();")
+        lines.append("    }")
+    if c.get("has_ops"):
+        # operator / conversion DECLARATIONS (MemberDependencyExtractor
+        # display shapes: operator +(T, T), implicit operator int(T), ...)
+        lines.append(f"    public static {name} operator +({name} a, {name} b)")
+        lines.append("    {")
+        lines.append("        return a;")
+        lines.append("    }")
+        lines.append(f"    public static bool operator !({name} a)")
+        lines.append("    {")
+        lines.append("        return false;")
+        lines.append("    }")
+        lines.append(f"    public static implicit operator int({name} m)")
+        lines.append("    {")
+        lines.append("        return 0;")
+        lines.append("    }")
+        lines.append(f"    public static explicit operator {name}(int v)")
+        lines.append("    {")
+        lines.append("        return null;")
+        lines.append("    }")
     lines.append("    private void Hidden()")
     lines.append("    {")
     lines.append("    }")
+    if c.get("has_nested"):
+        # nested type LAST in the body (keeps the oracle's line-window simple)
+        lines.append("    public class Inner")
+        lines.append("    {")
+        lines.append("        public int Size { get; set; }")
+        lines.append("    }")
     lines.append("}")
     if c["has_iface"]:
         lines.append("")
@@ -485,12 +595,29 @@ def _render_xaml(spec: dict) -> str:
 """
 
 
+def _render_csharp_box(spec: dict) -> str:
+    return f"""namespace {spec["ns"]};
+
+public class Box<T>
+{{
+    public T Value {{ get; set; }}
+    public int Tally {{ get; set; }}
+}}
+"""
+
+
+def _render_csharp_globalusings(spec: dict) -> str:
+    return f"global using {spec['ns']};\n"
+
+
 def _render_decoy(spec: dict) -> str:
     return "// excluded decoy\n" if spec["kind"] != "decoy_txt" else "plain text\n"
 
 
 _RENDERERS = {
     "csharp": _render_csharp,
+    "csharp_box": _render_csharp_box,
+    "csharp_globalusings": _render_csharp_globalusings,
     "csproj": _render_csproj,
     "packagejson": _render_packagejson,
     "pubspec": _render_pubspec,

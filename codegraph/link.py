@@ -5,10 +5,21 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
 
 1. **Mention resolution** — the replica's stand-in for Roslyn semantic
    binding. C# extraction emits unresolved type/invocation mentions with an
-   ordered candidate-namespace list (own namespace first, then usings, the
-   C# lookup order). They are resolved against the per-repo symbol
-   dictionary; the first matching namespace wins; unresolvable mentions are
-   Roslyn error types -> no edge (MemberDependencyExtractor.cs:241,255,282).
+   ordered candidate-namespace list (own namespace first, then usings, then
+   the repo-wide ``global using`` pool — the compilation-level lookup of
+   RoslynSymbolProcessor.cs:68-99). They are resolved against the per-repo
+   symbol dictionary; the first matching namespace wins; unresolvable
+   mentions are Roslyn error types -> no edge
+   (MemberDependencyExtractor.cs:241,255,282).
+
+   Member lookup is overload-aware: candidates on the resolved type are
+   ranked by (0) declared-parameter-token equality against the mention's
+   classified argument tokens, then (1) arity equality; mentions matching
+   neither drop (Roslyn overload resolution failure => no edge). Method
+   groups carry no argument list and match by name. User-defined operator
+   mentions (``operator +``) resolve on the operand type; conversion
+   mentions (``implicit operator int``) search BOTH the operand and target
+   types, the two places C# allows the declaration.
 
 2. **Dangling-edge drop (J1/F9)** — candidate edges survive only when BOTH
    endpoint keys exist as Symbol nodes in the same repo universe
@@ -28,17 +39,20 @@ splitting covers residual imbalance at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codegraph.extract.base import US
+from codegraph.extract.csharp import KEYWORD_TYPES
 
 
 def build_dictionaries(symbols: DataFrame):
     """FQN dictionaries from deduped C# symbols.
 
     types:   (repo, ns, name, type_key, type_display)
-    members: (repo, type_display, lookup_name, nparams, member_key)
+    members: (repo, type_display, lookup_name, nparams, params, member_key)
+             lookup_name is the display segment before '(' — plain name,
+             '<ctor>' sentinel, 'operator +', 'implicit operator int', ...
     nss:     (repo, ns) — namespaces declared in-repo (same-assembly check,
              MemberDependencyExtractor.cs:53-75)
     """
@@ -66,8 +80,9 @@ def build_dictionaries(symbols: DataFrame):
         .withColumn("nparams", F.when(F.col("params") == "", F.lit(0))
                     .otherwise(F.size(F.split(F.col("params"), ","))))
     )
-    # head = "Ns.Type.name"; lookup_name = last dot segment; '.ctor' symbols
-    # get a '<ctor>' sentinel (their display segment is the type name)
+    # head = "Ns.Type.name"; lookup_name = last dot segment (also 'operator +'
+    # and 'implicit operator int' — conversion return tokens are non-dotted in
+    # the subset); '.ctor' symbols get a '<ctor>' sentinel
     methods = (
         methods
         .withColumn("simple", F.element_at(F.split(F.col("head"), "\\."), -1))
@@ -79,7 +94,8 @@ def build_dictionaries(symbols: DataFrame):
                     F.when(F.col("name") == ".ctor", F.lit("<ctor>"))
                     .otherwise(F.col("simple")))
         .select(F.col("repo").alias("mm_repo"), "type_display",
-                "lookup_name", "nparams", F.col("key").alias("member_key"))
+                "lookup_name", "nparams", "params",
+                F.col("key").alias("member_key"))
     )
     return types, methods, nss
 
@@ -89,15 +105,27 @@ _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
 
 
 def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
-                   salt: int = 0) -> DataFrame:
-    """Resolve ``name_col`` against the ordered candidate-namespace list.
-    Keeps the first (lowest-priority-index) namespace that declares the name
-    via a min_by aggregation (one shuffle with map-side partial agg — cheaper
-    than a sort window); unresolved mentions drop (Roslyn error type => no
-    edge). Adds columns t_key / t_display."""
+                   salt: int = 0, global_ns: DataFrame | None = None,
+                   extra_ids: list[str] | None = None) -> DataFrame:
+    """Resolve ``name_col`` against the ordered candidate-namespace list
+    (file namespace, local usings, then the repo's global usings). Keeps the
+    first (lowest-priority-index) namespace that declares the name via a
+    min_by aggregation (one shuffle with map-side partial agg — cheaper than
+    a sort window); unresolved mentions drop (Roslyn error type => no edge).
+    Adds columns t_key / t_display."""
+    ids = _MENTION_ID_COLS + (extra_ids or [])
     cands = mentions.select(
         "*", F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
     )
+    if global_ns is not None:
+        # repo-wide global usings: lowest priority, broadcast (small dim)
+        gu = mentions.join(
+            F.broadcast(global_ns), on=[F.col("repo") == F.col("g_repo")]) \
+            .withColumn("prio", (F.lit(100000)
+                                 + F.pmod(F.crc32(F.col("cand_ns")), F.lit(1000)))
+                        .cast("int")) \
+            .drop("g_repo")
+        cands = cands.unionByName(gu.select(*cands.columns))
     t = types
     join_cond = [F.col("repo") == F.col("t_repo"), F.col("cand_ns") == F.col("ns"),
                  F.col(name_col) == F.col("name")]
@@ -109,9 +137,9 @@ def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
     joined = cands.join(t, on=join_cond, how="inner") \
         .drop("t_repo", "ns", "name")
     return (
-        joined.groupBy(*_MENTION_ID_COLS)
+        joined.groupBy(*ids)
         .agg(F.expr("min_by(struct(type_key, type_display), prio)").alias("_r"))
-        .select(*_MENTION_ID_COLS,
+        .select(*ids,
                 F.col("_r.type_key").alias("t_key"),
                 F.col("_r.type_display").alias("t_display"))
     )
@@ -121,6 +149,38 @@ def _as_edge(df: DataFrame, dst_col: str) -> DataFrame:
     return df.select("repo", F.col("m_from_key").alias("src_key"),
                      F.col("m_rel").alias("rel_type"),
                      F.col(dst_col).alias("dst_key"))
+
+
+def _pick_member(df: DataFrame, members: DataFrame, lookup_cond,
+                 extra_ids: list[str] | None = None,
+                 extra_rank=None) -> DataFrame:
+    """Overload-aware member selection on an already-type-resolved mention
+    set (df carries t_display). Rank 0: the mention's classified argument
+    tokens equal the declared parameter tokens; rank 1: arity match (or a
+    method-group mention with no argument list); otherwise no edge — the
+    Roslyn overload-resolution-failure analog."""
+    ids = _MENTION_ID_COLS + (extra_ids or [])
+    norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
+        .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
+    joined = df.join(
+        members,
+        on=[F.col("repo") == F.col("mm_repo"),
+            F.col("t_display") == F.col("type_display"), lookup_cond],
+        how="inner")
+    rank = (
+        F.when(norm_args.isNotNull() & ~norm_args.contains("?")
+               & (F.col("params") == norm_args), F.lit(0))
+        .when(F.col("m_nargs").isNull(), F.lit(1))
+        .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
+        .otherwise(F.lit(99)))
+    if extra_rank is not None:
+        rank = rank + extra_rank
+    joined = joined.withColumn("_rank", rank).filter(F.col("_rank") < 99)
+    return (
+        joined.groupBy(*ids)
+        .agg(F.expr("min_by(member_key, struct(_rank, member_key))")
+             .alias("member_key"))
+    )
 
 
 def resolve_mentions(records: DataFrame, symbols: DataFrame,
@@ -135,43 +195,77 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         .distinct()
     )
 
+    # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
+    global_ns = (mentions.filter(F.col("m_kind") == "global_using")
+                 .select(F.col("repo").alias("g_repo"),
+                         F.col("m_name").alias("cand_ns"))
+                 .distinct())
+
     # --- ONE type-resolution pass for every mention kind that names a type:
-    #     type/ctor mentions resolve m_name, via/static resolve the receiver
-    #     token. One explode + one dictionary join + one min_by instead of
-    #     three parallel pipelines.
+    #     type/ctor mentions resolve m_name, via/static/operator mentions
+    #     resolve the receiver/operand token. One explode + one dictionary
+    #     join + one min_by instead of parallel pipelines.
     needs_type = mentions.filter(
-        F.col("m_kind").isin("type", "ctor", "invoke_via", "invoke_static"))
+        F.col("m_kind").isin("type", "ctor", "invoke_via", "invoke_static", "op"))
     needs_type = needs_type.withColumn(
         "resolve_tok",
         F.when(F.col("m_kind").isin("type", "ctor"), F.col("m_name"))
         .otherwise(F.col("m_recv")))
-    resolved_t = _resolve_types(needs_type, types, "resolve_tok", salt)
+    resolved_t = _resolve_types(needs_type, types, "resolve_tok", salt, global_ns)
 
     type_edges = _as_edge(resolved_t.filter(F.col("m_kind") == "type"), "t_key")
 
-    # ctor: join the declared ctor by arg count (no-overload subset)
-    ctors = members.filter(F.col("lookup_name") == "<ctor>")
+    # ctor: overload-aware (classified arg tokens, then arity)
     ctor_edges = _as_edge(
-        resolved_t.filter(F.col("m_kind") == "ctor")
-        .join(ctors, on=[F.col("repo") == F.col("mm_repo"),
-                         F.col("t_display") == F.col("type_display"),
-                         F.col("m_nargs") == F.col("nparams")], how="inner"),
+        _pick_member(resolved_t.filter(F.col("m_kind") == "ctor"), members,
+                     F.col("lookup_name") == F.lit("<ctor>")),
         "member_key")
 
-    # field/static-receiver invocations: member lookup on the resolved type
+    # field/static-receiver invocations + user-defined operators: member
+    # lookup on the resolved type (operators carry m_name 'operator +')
     via_edges = _as_edge(
-        resolved_t.filter(F.col("m_kind").isin("invoke_via", "invoke_static"))
-        .join(members, on=[F.col("repo") == F.col("mm_repo"),
-                           F.col("t_display") == F.col("type_display"),
-                           F.col("m_name") == F.col("lookup_name")], how="inner"),
+        _pick_member(
+            resolved_t.filter(F.col("m_kind").isin("invoke_via", "invoke_static", "op")),
+            members, F.col("lookup_name") == F.col("m_name")),
         "member_key")
 
-    # --- own-type invocations: m_recv already holds the type display --------
-    im = mentions.filter(F.col("m_kind") == "invoke")
+    # --- own-type invocations (incl. method groups): m_recv already holds
+    #     the type display
+    im = (mentions.filter(F.col("m_kind") == "invoke")
+          .withColumn("t_display", F.col("m_recv")))
     own_edges = _as_edge(
-        im.join(members, on=[F.col("repo") == F.col("mm_repo"),
-                             F.col("m_recv") == F.col("type_display"),
-                             F.col("m_name") == F.col("lookup_name")], how="inner"),
+        _pick_member(im, members, F.col("lookup_name") == F.col("m_name")),
+        "member_key")
+
+    # --- user-defined conversions: the operator may be declared on the
+    #     operand type OR the target type (C# conversion declaration rule).
+    #     conv_impl (initializer/argument/return positions) binds implicit
+    #     operators only; conv_expl (cast syntax) prefers explicit over
+    #     implicit when both exist.
+    conv = mentions.filter(F.col("m_kind").isin("conv_impl", "conv_expl"))
+    kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
+    conv = (conv.select(
+        "*", F.explode(F.array_distinct(F.array("m_recv", "m_name")))
+        .alias("resolve_tok"))
+        .filter(F.col("resolve_tok").isNotNull()
+                & (F.col("resolve_tok") != "")
+                & ~F.array_contains(kw, F.col("resolve_tok"))
+                & ~F.col("resolve_tok").startswith("System.")))
+    resolved_c = _resolve_types(conv, types, "resolve_tok", salt, global_ns,
+                                extra_ids=["resolve_tok"])
+    impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
+    expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
+    conv_lookup = F.when(F.col("m_kind") == "conv_impl",
+                         F.col("lookup_name") == impl_name) \
+        .otherwise((F.col("lookup_name") == expl_name)
+                   | (F.col("lookup_name") == impl_name))
+    # conversion mentions carry no arg list (name-rank only, via the
+    # m_nargs-null rule); cast syntax prefers explicit when both exist
+    conv_rank = F.when((F.col("m_kind") == "conv_expl")
+                       & (F.col("lookup_name") == impl_name), F.lit(1)) \
+        .otherwise(F.lit(0))
+    conv_edges = _as_edge(
+        _pick_member(resolved_c, members, conv_lookup, extra_rank=conv_rank),
         "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
@@ -185,7 +279,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     )
 
     return (type_edges.unionByName(ctor_edges).unionByName(own_edges)
-            .unionByName(via_edges).unionByName(ext_using))
+            .unionByName(via_edges).unionByName(conv_edges)
+            .unionByName(ext_using))
 
 
 def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:

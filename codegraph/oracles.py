@@ -46,10 +46,13 @@ cs_lines AS (
   FROM cs_files
 )"""
 
-# window-tracked current type + member census (the SQL twin of the lexer)
+# window-tracked current type + member census (the SQL twin of the lexer).
+# Handles the generator's full shape menu: generic type decls (Box<T>),
+# nested types (Inner, always last in its class), multi-declarator fields,
+# user-defined operator and conversion declarations.
 CS_CTX = r"""marks AS (
   SELECT repo, path, ns, ln, line,
-         nullif(regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1), '') AS tdecl,
+         nullif(regexp_extract(line, '^public (?:class|interface|enum) (\w+(?:<[\w, ]+>)?)$', 1), '') AS tdecl,
          CASE WHEN regexp_matches(line, '^public enum ') THEN TRUE ELSE FALSE END AS is_enum_decl
   FROM cs_lines
 ),
@@ -67,27 +70,70 @@ tdisp AS (
   SELECT *, CASE WHEN ns = '' THEN cur_type ELSE ns || '.' || cur_type END AS type_display
   FROM ctx WHERE cur_type IS NOT NULL
 ),
+nested_types AS (
+  -- one-level nested classes (generator shape: 'public class Inner', last
+  -- member of its outer class)
+  SELECT repo, path, ns, ln, type_display AS outer_display,
+         type_display || '.Inner' AS nested_display
+  FROM tdisp WHERE regexp_matches(line, '^    public class Inner$')
+),
 members AS (
-  -- fields
+  -- fields (single declarator; type token may be a constructed generic)
   SELECT repo, path, ns, ln, type_display, 'Field' AS mkind,
-         regexp_extract(line, '^    private readonly (\w+) (_\w+);', 2) AS mdisp,
+         regexp_extract(line, '^    private readonly ([\w<>]+) (_\w+);', 2) AS mdisp,
          NULL AS ftype
-  FROM tdisp WHERE regexp_matches(line, '^    private readonly \w+ _\w+;')
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly [\w<>]+ _\w+;')
+  UNION ALL
+  -- multi-declarator fields: one symbol per variable
+  SELECT repo, path, ns, ln, type_display, 'Field', trim(v.nm), NULL
+  FROM tdisp,
+       unnest(string_split(regexp_extract(line, '^    private int ((?:_\w+, )*_\w+);', 1), ',')) AS v(nm)
+  WHERE regexp_matches(line, '^    private int (_\w+, )+_\w+;')
   UNION ALL
   -- enum members
   SELECT repo, path, ns, ln, type_display, 'Field',
          regexp_extract(line, '^    (\w+),?$', 1), NULL
   FROM tdisp WHERE cur_is_enum AND regexp_matches(line, '^    \w+,?$')
   UNION ALL
-  -- properties
+  -- properties (type token may be a generic type parameter)
   SELECT repo, path, ns, ln, type_display, 'Property',
          regexp_extract(line, '^    public (\w+) (\w+) \{ get; set; \}', 2), NULL
   FROM tdisp WHERE regexp_matches(line, '^    public \w+ \w+ \{ get; set; \}')
+  UNION ALL
+  -- nested-type properties (8-indent; belong to <outer>.Inner)
+  SELECT repo, path, ns, ln, type_display || '.Inner', 'Property', 'Size', NULL
+  FROM tdisp WHERE regexp_matches(line, '^        public int Size \{ get; set; \}$')
   UNION ALL
   -- events
   SELECT repo, path, ns, ln, type_display, 'Event',
          regexp_extract(line, '^    public event EventHandler (\w+);', 1), NULL
   FROM tdisp WHERE regexp_matches(line, '^    public event EventHandler \w+;')
+  UNION ALL
+  -- user-defined operators: display 'operator +(T, T)'
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         'operator ' || regexp_extract(line, 'operator (\S+)\(', 1)
+           || '(' ||
+           array_to_string(
+             list_transform(
+               list_filter(string_split(regexp_extract(line, '\(([^)]*)\)', 1), ','),
+                           p -> trim(p) != ''),
+               p -> string_split(trim(p), ' ')[1]), ', ')
+           || ')', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public static [\w<>]+ operator ')
+    AND NOT regexp_matches(line, '^    public static (implicit|explicit) operator ')
+  UNION ALL
+  -- user-defined conversions: display 'implicit operator int(T)'
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         regexp_extract(line, '^    public static (implicit|explicit) operator ', 1)
+           || ' operator ' || regexp_extract(line, ' operator (\w+)\(', 1)
+           || '(' ||
+           array_to_string(
+             list_transform(
+               list_filter(string_split(regexp_extract(line, '\(([^)]*)\)', 1), ','),
+                           p -> trim(p) != ''),
+               p -> string_split(trim(p), ' ')[1]), ', ')
+           || ')', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public static (implicit|explicit) operator ')
   UNION ALL
   -- methods, ctors, interface members: name(paramTok, ...)
   SELECT repo, path, ns, ln, type_display, 'Method',
@@ -109,10 +155,13 @@ member_keys AS (
 ),
 cs_types AS (
   SELECT repo, path, ns, ln,
-         regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1) AS name,
-         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1)
-              ELSE ns || '.' || regexp_extract(line, '^public (?:class|interface|enum) (\w+)$', 1) END AS display
-  FROM cs_lines WHERE regexp_matches(line, '^public (?:class|interface|enum) \w+$')
+         regexp_extract(line, '^public (?:class|interface|enum) (\w+)', 1) AS name,
+         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:class|interface|enum) (\w+(?:<[\w, ]+>)?)$', 1)
+              ELSE ns || '.' || regexp_extract(line, '^public (?:class|interface|enum) (\w+(?:<[\w, ]+>)?)$', 1) END AS display
+  FROM cs_lines WHERE regexp_matches(line, '^public (?:class|interface|enum) \w+(<[\w, ]+>)?$')
+  UNION ALL
+  SELECT repo, path, ns, ln, 'Inner', nested_display
+  FROM nested_types
 )"""
 
 ORACLES: dict[str, str] = {}
@@ -140,25 +189,26 @@ SELECT repo, path,
   ELSE dir END AS namespace
 FROM dotted"""
 
-ORACLES["kg_csharp_types"] = f"""WITH {DISC}, {CS}
-SELECT repo, path,
-       regexp_extract(line, '^public (?:class|interface|enum) (\\w+)$', 1) AS name,
-       repo || ':' || CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:class|interface|enum) (\\w+)$', 1)
-                           ELSE ns || '.' || regexp_extract(line, '^public (?:class|interface|enum) (\\w+)$', 1) END AS key,
-       ln AS start_line
-FROM cs_lines
-WHERE regexp_matches(line, '^public (?:class|interface|enum) \\w+$')"""
+ORACLES["kg_csharp_types"] = f"""WITH {DISC}, {CS}, {CS_CTX}
+SELECT repo, path, name, repo || ':' || display AS key, ln AS start_line
+FROM cs_types"""
 
 ORACLES["kg_csharp_member_counts"] = f"""WITH {DISC},
 lines AS (
   SELECT repo, path, string_split(content, chr(10)) AS ls,
          regexp_matches(content, 'public enum ') AS has_enum
   FROM discovered WHERE lower(path) LIKE '%.cs'
+    AND regexp_matches(content, 'public (class|interface|enum) ')
 )
 SELECT repo, path,
-  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$'))) AS n_methods,
-  len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ \\w+ \\{{ get; set; \\}}$'))) AS n_properties,
-  len(list_filter(ls, l -> regexp_matches(l, '^    private readonly \\w+ _\\w+;$')))
+  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
+                            AND NOT regexp_matches(l, '^    public static (implicit|explicit) operator ')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public static (implicit|explicit) operator '))) AS n_methods,
+  len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ \\w+ \\{{ get; set; \\}}$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^        public int Size \\{{ get; set; \\}}$'))) AS n_properties,
+  len(list_filter(ls, l -> regexp_matches(l, '^    private readonly [\\w<>]+ _\\w+;$')))
+    + 2 * len(list_filter(ls, l -> regexp_matches(l, '^    private int (_\\w+, )+_\\w+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    \\w+,?$'))) AS n_fields,
   len(list_filter(ls, l -> regexp_matches(l, '^    public event EventHandler \\w+;$'))) AS n_events
 FROM lines"""
@@ -322,7 +372,12 @@ FROM {CL} GROUP BY repo"""
 ORACLES["kg_contains_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX}
 SELECT DISTINCT repo, repo || ':' || type_display AS src_key,
        repo || ':' || member_display AS dst_key
-FROM member_keys"""
+FROM member_keys
+UNION
+-- nested type is a member of the outer type (RoslynSymbolProcessor.cs:288)
+SELECT DISTINCT repo, repo || ':' || outer_display,
+       repo || ':' || nested_display
+FROM nested_types"""
 
 ORACLES["kg_invokes_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX},
 -- enclosing-method context for body lines
@@ -340,6 +395,13 @@ fields AS (
   SELECT repo, path, regexp_extract(line, '^    private readonly (\\w+) _dep;', 1) AS ftype
   FROM tdisp WHERE regexp_matches(line, '^    private readonly \\w+ _dep;')
 ),
+cmb AS (
+  -- Combine's dep type per (repo, path, type): the operand type of every
+  -- operator/conversion USE statement in its body
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    public int Combine\\((\\w+) x', 1) AS dt
+  FROM tdisp WHERE regexp_matches(line, '^    public int Combine\\(\\w+ x, \\w+ y\\)$')
+),
 calls AS (
   -- _dep.Run()
   SELECT b.repo, b.path, b.cur_method, b.type_display,
@@ -356,6 +418,52 @@ calls AS (
          regexp_extract(line, '^        var made = new (\\w+)\\(\\);$', 1),
          regexp_extract(line, '^        var made = new (\\w+)\\(\\);$', 1) || '()'
   FROM body WHERE regexp_matches(line, '^        var made = new \\w+\\(\\);$')
+  UNION ALL
+  -- user-defined binary operator: var z = x + y;
+  SELECT b.repo, b.path, b.cur_method, b.type_display, c.dt,
+         'operator +(' || c.dt || ', ' || c.dt || ')'
+  FROM body b JOIN cmb c ON b.repo = c.repo AND b.path = c.path AND b.type_display = c.type_display
+  WHERE regexp_matches(b.line, '^        var z = x \\+ y;$')
+  UNION ALL
+  -- user-defined prefix operator: var f = !x;
+  SELECT b.repo, b.path, b.cur_method, b.type_display, c.dt,
+         'operator !(' || c.dt || ')'
+  FROM body b JOIN cmb c ON b.repo = c.repo AND b.path = c.path AND b.type_display = c.type_display
+  WHERE regexp_matches(b.line, '^        var f = !x;$')
+  UNION ALL
+  -- explicit cast: var k = (T)7;
+  SELECT repo, path, cur_method, type_display,
+         regexp_extract(line, '^        var k = \\((\\w+)\\)7;$', 1),
+         'explicit operator ' || regexp_extract(line, '^        var k = \\((\\w+)\\)7;$', 1) || '(int)'
+  FROM body WHERE regexp_matches(line, '^        var k = \\(\\w+\\)7;$')
+  UNION ALL
+  -- implicit conversion at initializer/argument/return (one edge after
+  -- per-callee dedup): int n = x;
+  SELECT b.repo, b.path, b.cur_method, b.type_display, c.dt,
+         'implicit operator int(' || c.dt || ')'
+  FROM body b JOIN cmb c ON b.repo = c.repo AND b.path = c.path AND b.type_display = c.type_display
+  WHERE regexp_matches(b.line, '^        int n = x;$')
+  UNION ALL
+  -- own-type call with arg tokens: Apply(y);
+  SELECT repo, path, cur_method, type_display, NULL, 'Apply(int)'
+  FROM body WHERE regexp_matches(line, '^        Apply\\(y\\);$')
+  UNION ALL
+  -- method group outside invocation position: Action go = Run;
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Action go = Run;$')
+  UNION ALL
+  -- overloads resolved by literal arg tokens
+  SELECT repo, path, cur_method, type_display, NULL, 'Get(int)'
+  FROM body WHERE regexp_matches(line, '^        Get\\(1\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Get(int, string)'
+  FROM body WHERE regexp_matches(line, '^        Get\\(2, "x"\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Tag(int)'
+  FROM body WHERE regexp_matches(line, '^        Tag\\(3\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Tag(string)'
+  FROM body WHERE regexp_matches(line, '^        Tag\\("y"\\);$')
 ),
 resolved AS (
   SELECT c.repo, c.path, c.cur_method, c.type_display, c.callee_sig,
@@ -375,6 +483,13 @@ edges AS (
     AND mk.member_display = r.callee_type || '.' || r.callee_sig
 )
 SELECT DISTINCT repo, src_key, dst_key FROM edges"""
+
+# dedicated CORRECTNESS row for the user-defined operator / conversion /
+# method-group INVOKES surface (MemberDependencyExtractor.cs:77-230)
+ORACLES["kg_operator_invokes"] = ORACLES["kg_invokes_edges"].replace(
+    "SELECT DISTINCT repo, src_key, dst_key FROM edges",
+    "SELECT DISTINCT repo, src_key, dst_key FROM edges "
+    "WHERE dst_key LIKE '%operator %'")
 
 ORACLES["kg_depends_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX},
 tokens AS (
@@ -396,6 +511,25 @@ tokens AS (
          regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\(([^)]*)\\)[;]?$', 1), ','),
          x -> trim(x) != '')) AS p(p)
   WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$')
+  UNION ALL
+  -- operator/conversion parameter types (BaseMethodDeclarationSyntax deps)
+  SELECT repo, path, type_display,
+         string_split(trim(p.p), ' ')[1]
+  FROM tdisp,
+       unnest(list_filter(string_split(
+         regexp_extract(line, '\\(([^)]*)\\)', 1), ','),
+         x -> trim(x) != '')) AS p(p)
+  WHERE regexp_matches(line, '^    public static (?:[\\w<>]+|implicit|explicit) operator ')
+  UNION ALL
+  -- operator return types (conversion returns: the token after 'operator')
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    public static ([\\w<>]+) operator ', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public static [\\w<>]+ operator ')
+    AND NOT regexp_matches(line, '^    public static (implicit|explicit) operator ')
+  UNION ALL
+  SELECT repo, path, type_display,
+         regexp_extract(line, ' operator (\\w+)\\(', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public static (implicit|explicit) operator ')
 ),
 inrepo AS (
   SELECT DISTINCT tk.repo,
@@ -412,6 +546,10 @@ e AS (
   SELECT repo || chr(30) || repo || ':' || type_display AS src,
          repo || chr(30) || repo || ':' || member_display AS dst
   FROM member_keys
+  UNION
+  SELECT repo || chr(30) || repo || ':' || outer_display,
+         repo || chr(30) || repo || ':' || nested_display
+  FROM nested_types
 ),
 e2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
 nodes AS (SELECT DISTINCT a AS node FROM e2),

@@ -133,3 +133,143 @@ def test_filemeta_namespace():
     rows = _run()
     fm = [r for r in rows if r["rec"] == "filemeta"]
     assert fm[0]["file_namespace"] == "MyApp.Feature"
+
+
+OPS_SNIPPET = """using System;
+
+namespace MyApp.Money;
+
+public class Money
+{
+    public int Value { get; set; }
+    private int _a, _b;
+    private readonly Box<int> _box;
+    public static Money operator +(Money a, Money b)
+    {
+        return a;
+    }
+    public static bool operator !(Money a)
+    {
+        return false;
+    }
+    public static implicit operator int(Money m)
+    {
+        return 0;
+    }
+    public static explicit operator Money(int v)
+    {
+        return null;
+    }
+    public class Inner
+    {
+        public int Size { get; set; }
+    }
+}
+
+public class Wallet
+{
+    public void Run()
+    {
+    }
+    public void Pay(int v)
+    {
+    }
+    public void Pay(string v)
+    {
+    }
+    public int Use(Money x, Money y)
+    {
+        var z = x + y;
+        var f = !x;
+        var k = (Money)7;
+        int n = x;
+        Pay(3);
+        Pay("cash");
+        return z;
+    }
+    public void Hook()
+    {
+        Action go = Run;
+        go();
+    }
+}
+
+public class Box<T>
+{
+    public T Item { get; set; }
+}
+"""
+
+
+def _run_ops():
+    return _extract_one("r", "src/MyApp/Money/Money.cs", OPS_SNIPPET,
+                        ACC_ORDER["Private"], {}, {})
+
+
+def test_operator_and_conversion_symbols():
+    """Operator/conversion declarations become Method symbols with Roslyn
+    op_* names and CSharpErrorMessageFormat displays
+    (MemberDependencyExtractorTests.cs:425-500,598-650)."""
+    syms = _symbols(_run_ops())
+    add = syms["r:MyApp.Money.Money.operator +(Money, Money)"]
+    assert add["kind"] == "Method" and add["name"] == "op_Addition"
+    neg = syms["r:MyApp.Money.Money.operator !(Money)"]
+    assert neg["name"] == "op_LogicalNot"
+    imp = syms["r:MyApp.Money.Money.implicit operator int(Money)"]
+    assert imp["name"] == "op_Implicit"
+    exp = syms["r:MyApp.Money.Money.explicit operator Money(int)"]
+    assert exp["name"] == "op_Explicit"
+
+
+def test_multi_declarator_and_generic_and_nested():
+    syms = _symbols(_run_ops())
+    # multi-declarator -> one IFieldSymbol per variable (RoslynSymbolProcessor.cs:216-240)
+    assert "r:MyApp.Money.Money._a" in syms
+    assert "r:MyApp.Money.Money._b" in syms
+    # generic display keeps type parameters (SymbolMapper.cs:43-47)
+    assert "r:MyApp.Money.Box<T>" in syms
+    assert syms["r:MyApp.Money.Box<T>"]["name"] == "Box"
+    assert "r:MyApp.Money.Box<T>.Item" in syms
+    # nested type + member; CONTAINS outer->Inner
+    assert "r:MyApp.Money.Money.Inner" in syms
+    assert "r:MyApp.Money.Money.Inner.Size" in syms
+    rels = {(r["src_key"], r["rel_type"], r["dst_key"])
+            for r in _run_ops() if r["rec"] == "rel"}
+    assert ("r:MyApp.Money.Money", "src__CONTAINS",
+            "r:MyApp.Money.Money.Inner") in rels
+    assert ("r:MyApp.Money.Money.Inner", "src__CONTAINS",
+            "r:MyApp.Money.Money.Inner.Size") in rels
+
+
+def test_operator_usage_mentions():
+    """Binary/prefix operators, casts, implicit conversions at
+    initializer/argument/return, and method groups all emit INVOKES mentions
+    (MemberDependencyExtractor.cs:77-230)."""
+    mentions = [r for r in _run_ops() if r["rec"] == "mention"]
+    by_kind = {}
+    for m in mentions:
+        by_kind.setdefault(m["m_kind"], []).append(m)
+    ops = {(m["m_name"], m["m_recv"]) for m in by_kind.get("op", [])}
+    assert ("operator +", "Money") in ops
+    assert ("operator !", "Money") in ops
+    convs = {(m["m_kind"], m["m_name"], m["m_recv"])
+             for m in mentions if m["m_kind"].startswith("conv")}
+    assert ("conv_expl", "Money", None) in convs       # (Money)7 cast
+    assert ("conv_impl", "int", "Money") in convs      # int n = x; / return z
+    # method group: Action go = Run; -> own-type invoke with no arg list
+    mg = [m for m in by_kind.get("invoke", [])
+          if m["m_name"] == "Run" and m["m_nargs"] is None]
+    assert mg and mg[0]["m_recv"] == "MyApp.Money.Wallet"
+    # overloads carry classified arg tokens for param-token matching
+    pays = {m["m_args"] for m in by_kind.get("invoke", []) if m["m_name"] == "Pay"}
+    assert pays == {"int", "string"}
+
+
+def test_global_using_records():
+    src = "global using MyApp.Core;\n"
+    rows = _extract_one("r", "src/MyApp/GlobalUsings.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    kinds = {(r["m_kind"], r["m_name"]) for r in rows if r["rec"] == "mention"}
+    # both the file-level using mention AND the repo-wide global pool record
+    assert ("using", "MyApp.Core") in kinds
+    assert ("global_using", "MyApp.Core") in kinds
