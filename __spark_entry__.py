@@ -245,6 +245,35 @@ def _q_kg_xml_counts(spark, sf_dir):
                     F.col("XmlAttribute").alias("n_attributes")))
 
 
+def _q_kg_xaml_symbols(spark, sf_dir):
+    # H5: the XAML .g.cs generated-tree subset (class + InitializeComponent
+    # + x:Name fields); XamlElement/attribute symbols are pytest-covered
+    rec = _records(spark, sf_dir)
+    return (rec.filter("rec = 'symbol' AND lang = 'xaml' "
+                       "AND kind IN ('NamedType', 'Method', 'Field')")
+            .select("repo", "path", "kind", "name", "key",
+                    F.col("start_line").cast("bigint").alias("start_line")))
+
+
+def _q_kg_ts_symbols(spark, sf_dir):
+    # H12: TS/JS symbol surface (kinds, keys, fqn, lines) incl. setter-side
+    # properties, namespaces, decorator-bearing classes
+    rec = _records(spark, sf_dir)
+    return (rec.filter("rec = 'symbol' AND lang IN ('typescript', 'javascript')")
+            .select("repo", "path", "kind", "name", "key", "fqn",
+                    F.col("start_line").cast("bigint").alias("start_line")))
+
+
+def _q_kg_dart_symbols(spark, sf_dir):
+    # H13: Dart symbol surface incl. operators, extension types, and
+    # annotation-driven accessibility (@protected / @visibleForTesting)
+    rec = _records(spark, sf_dir)
+    return (rec.filter("rec = 'symbol' AND lang = 'dart'")
+            .select("repo", "path", "kind", "name", "key", "fqn",
+                    "accessibility",
+                    F.col("start_line").cast("bigint").alias("start_line")))
+
+
 def _q_kg_tags(spark, sf_dir):
     from codegraph.pipeline import tags_expr
 
@@ -494,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_json_properties": _q_kg_json_properties,
         "kg_razor_directives": _q_kg_razor_directives,
         "kg_xml_counts": _q_kg_xml_counts,
+        "kg_xaml_symbols": _q_kg_xaml_symbols,
+        "kg_ts_symbols": _q_kg_ts_symbols,
+        "kg_dart_symbols": _q_kg_dart_symbols,
         "kg_tags": _q_kg_tags,
         "kg_authors": _q_kg_authors,
         "kg_file_tags": _q_kg_file_tags,

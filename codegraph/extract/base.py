@@ -24,7 +24,7 @@ EXTRACT_COLUMNS = [
     "m_kind", "m_from_key", "m_rel", "m_name", "m_recv", "m_usings", "m_nargs",
     "m_args",
     "url_dep_key", "url_key", "url_name",
-    "file_namespace",
+    "file_namespace", "file_key_override",
 ]
 
 US = "\x1f"  # separator for m_usings namespace lists / m_args token lists
@@ -44,7 +44,7 @@ _REL_REST = _rest(("src_key", "dst_key", "rel_type"))
 _MENTION_REST = _rest(("m_kind", "m_from_key", "m_rel", "m_name", "m_recv",
                        "m_usings", "m_nargs", "m_args"))
 _URL_REST = _rest(("url_dep_key", "url_key", "url_name"))
-_FILEMETA_REST = _rest(("file_namespace",))
+_FILEMETA_REST = _rest(("file_namespace", "file_key_override"))
 
 
 class Emitter:
@@ -131,10 +131,12 @@ class Emitter:
         for col in _URL_REST:
             c[col].append(None)
 
-    def filemeta(self, file_namespace: str | None):
+    def filemeta(self, file_namespace: str | None,
+                 file_key_override: str | None = None):
         self._common("filemeta")
         c = self._cols
         c["file_namespace"].append(file_namespace)
+        c["file_key_override"].append(file_key_override)
         for col in _FILEMETA_REST:
             c[col].append(None)
 

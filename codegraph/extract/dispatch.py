@@ -61,9 +61,9 @@ def _extract_into(em: Emitter, repo: str, path: str, content: str, min_acc: int,
     if handler == "csharp":
         cs.extract_csharp(em, content, repo, file_key, min_acc)
     elif handler == "razor":
-        tl.extract_razor(em, content, file_key, min_acc)
+        tl.extract_razor(em, content, repo, file_key, min_acc)
     elif handler == "xaml":
-        tl.extract_xaml(em, content, file_key, min_acc)
+        tl.extract_xaml(em, content, repo, file_key, min_acc)
     elif handler == "xml":
         tl.extract_xml(em, content, file_key, min_acc)
     elif handler == "json":

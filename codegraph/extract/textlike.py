@@ -116,19 +116,54 @@ def extract_json(em: Emitter, content: str, file_key: str, min_acc: int) -> None
 
 
 # ---------------------------------------------------------------------------
-# Razor (RazorHandler.cs:92-136) — regex directives; namespace from
-# @namespace; Roslyn pass skipped (no compilation in the replica, matching
-# the reference when compilation is null).
+# Razor (RazorHandler.cs:36-136) — generated-tree pass + regex directives.
+# The razor compiler's generated class for a component is {ns}.{stem}; the
+# file key is PROMOTED to that FQN (RazorHandler.cs:61-72) and every symbol
+# keyed off the file (incl. the regex directives, which run AFTER promotion)
+# uses the promoted key. @inject directives become private properties of the
+# generated type with a type DEPENDS_ON resolved like any C# member type.
 # ---------------------------------------------------------------------------
 
 _RAZOR_NS_RE = re.compile(r"^@namespace\s+(.+)$", re.MULTILINE)
 _RAZOR_DIR_RE = re.compile(r"^@(?:using|inject|model|inherits)\s+(.+)$", re.MULTILINE)
+_RAZOR_USING_RE = re.compile(r"^@using\s+([\w.]+)\s*$", re.MULTILINE)
+_RAZOR_INJECT_RE = re.compile(r"^@inject\s+([\w.<>]+)\s+(\w+)\s*$", re.MULTILINE)
 
 
-def extract_razor(em: Emitter, content: str, file_key: str, min_acc: int) -> None:
+def extract_razor(em: Emitter, content: str, repo: str, file_key: str,
+                  min_acc: int) -> None:
+    import posixpath
+
+    from codegraph.schema import ACC_ORDER as _AO
+
     nm = _RAZOR_NS_RE.search(content)
     file_ns = nm.group(1).strip() if nm else None
-    em.filemeta(file_ns)
+    stem = posixpath.splitext(posixpath.basename(em.path))[0]
+    gen_display = f"{file_ns}.{stem}" if file_ns else None
+    em.filemeta(file_ns, file_key_override=gen_display)
+    promoted = gen_display if gen_display else file_key
+
+    # --- generated-tree pass (subset of RoslynSymbolProcessor over the
+    #     razor codegen output; derivable per-row from @namespace + stem)
+    if gen_display:
+        usings = [m.group(1) for m in _RAZOR_USING_RE.finditer(content)]
+        cand_ns = [file_ns] + usings
+        tkey = keys.csharp_key(repo, gen_display)
+        em.symbol(tkey, stem, "NamedType", stem, f"global::{gen_display}",
+                  "Public", file_ns, 1)
+        for m in _RAZOR_INJECT_RE.finditer(content):
+            ptype, pname = m.group(1), m.group(2)
+            # [Inject] private {T} {Name} { get; set; } in the generated tree
+            if _AO["Private"] >= min_acc or min_acc == 0:
+                line = keys.line_number(content, m.start())
+                pkey = keys.csharp_key(repo, f"{gen_display}.{pname}")
+                em.symbol(pkey, pname, "Property", pname,
+                          f"global::{gen_display}.{pname}", "Private",
+                          file_ns, line)
+                em.rel(tkey, pkey, R_CONTAINS)
+            em.mention("type", tkey, R_DEPENDS_ON, ptype, None, cand_ns, None)
+
+    # --- regex directives (ExtractDirectives, keyed off the PROMOTED key)
     if not _guard_a(min_acc):
         return
     for m in _RAZOR_DIR_RE.finditer(content):
@@ -142,10 +177,10 @@ def extract_razor(em: Emitter, content: str, file_key: str, min_acc: int) -> Non
         else:
             kind = "InheritsDirective"
         name = m.group(1).strip()
-        k = keys.text_key(file_key, kind, name)
+        k = keys.text_key(promoted, kind, name)
         line = keys.line_number(content, m.start())
         em.symbol(k, name, kind, "component", name, "Public", file_ns, line)
-        em.rel(file_key, k, R_CONTAINS)
+        em.rel(promoted, k, R_CONTAINS)
 
 
 # ---------------------------------------------------------------------------
@@ -239,9 +274,13 @@ def _xaml_attr(el: XmlEl, local_name: str) -> str | None:
     return None
 
 
-def extract_xaml(em: Emitter, content: str, file_key: str, min_acc: int) -> None:
+def extract_xaml(em: Emitter, content: str, repo: str, file_key: str,
+                 min_acc: int) -> None:
+    from codegraph.schema import ACC_ORDER as _AO
+
     root = parse_xml_keep_xmlns(content)
     file_ns = None
+    x_class = None
     if root is not None:
         x_class = _xaml_attr(root, "Class")
         if x_class:
@@ -249,6 +288,39 @@ def extract_xaml(em: Emitter, content: str, file_key: str, min_acc: int) -> None
     em.filemeta(file_ns)
     if root is None:
         return
+
+    # --- generated .g.cs pass (XamlHandler.cs:62-87): the partial class
+    #     named by x:Class, its InitializeComponent(), and one private field
+    #     per x:Name element. File key is NOT promoted (unlike razor — the
+    #     handler passes the original fileKey through, :84-89).
+    if x_class:
+        tkey = keys.csharp_key(repo, x_class)
+        em.symbol(tkey, x_class.split(".")[-1], "NamedType",
+                  x_class.split(".")[-1], f"global::{x_class}", "Public",
+                  file_ns, root.line)
+        if _AO["Private"] >= min_acc or min_acc == 0:
+            mkey = keys.csharp_key(repo, f"{x_class}.InitializeComponent()")
+            em.symbol(mkey, "InitializeComponent", "Method",
+                      "InitializeComponent",
+                      f"global::{x_class}.InitializeComponent()", "Private",
+                      file_ns, root.line)
+            em.rel(tkey, mkey, R_CONTAINS)
+
+            def gen_fields(el: XmlEl):
+                xn = _xaml_attr(el, "Name")
+                if xn:
+                    fkey = keys.csharp_key(repo, f"{x_class}.{xn}")
+                    em.symbol(fkey, xn, "Field", xn,
+                              f"global::{x_class}.{xn}", "Private",
+                              file_ns, el.line)
+                    em.rel(tkey, fkey, R_CONTAINS)
+                    # field type = the element's CLR type: dangling display,
+                    # dropped at J1 like any BCL dep
+                    em.rel(tkey, keys.csharp_key(repo, el.local), R_DEPENDS_ON)
+                for ch in el.children:
+                    gen_fields(ch)
+
+            gen_fields(root)
 
     def walk(el: XmlEl):
         name = el.local

@@ -26,7 +26,8 @@ import re
 
 from codegraph import keys
 from codegraph.extract.base import Emitter
-from codegraph.schema import ACC_NOT_APPLICABLE, ACC_ORDER, R_CONTAINS, R_DEPENDS_ON, R_INVOKES
+from codegraph.schema import (ACC_NOT_APPLICABLE, ACC_ORDER, R_CONTAINS,
+                              R_DEPENDS_ON, R_HAS_TAG, R_INVOKES)
 
 _TS_IMPORT_RE = re.compile(r"^import\s+.*?from\s+['\"]([^'\"]+)['\"]", re.MULTILINE)
 _TS_CLASS_RE = re.compile(
@@ -44,6 +45,9 @@ _TS_FIELD_RE = re.compile(
     re.MULTILINE)
 _TS_CTOR_RE = re.compile(r"^[ \t]+constructor\s*\(", re.MULTILINE)
 _TS_GETTER_RE = re.compile(r"^[ \t]+(?P<acc>private|protected|public)?[ \t]*get\s+(?P<name>\w+)\s*\(", re.MULTILINE)
+_TS_SETTER_RE = re.compile(r"^[ \t]+(?P<acc>private|protected|public)?[ \t]*set\s+(?P<name>\w+)\s*\(", re.MULTILINE)
+_TS_NAMESPACE_RE = re.compile(r"^(?:export\s+)?namespace\s+(?P<name>\w+)", re.MULTILINE)
+_TS_DECORATOR_RE = re.compile(r"^@(\w+)\s*(?:\([^)]*\))?\s*$")
 _TS_METHOD_RE = re.compile(
     r"^[ \t]+(?P<acc>private|protected|public)?[ \t]*(?:async\s+)?(?P<name>\w+)\s*\([^)]*\)\s*:\s*[\w.<>\[\]]+\s*\{",
     re.MULTILINE)
@@ -65,14 +69,35 @@ def _acc_passes(acc: str, min_acc: int) -> bool:
 
 
 def _doc_before(content: str, idx: int) -> str | None:
-    """jsdoc /** ... */ immediately preceding a declaration."""
+    """jsdoc /** ... */ immediately preceding a declaration (decorator lines
+    in between don't detach it — they are part of the decorated node)."""
     prefix = content[:idx]
     m = None
     for m in _TS_DOC_RE.finditer(prefix):
         pass
-    if m and prefix[m.end():].strip() == "":
+    if m is None:
+        return None
+    between = [ln for ln in prefix[m.end():].split("\n")
+               if ln.strip() and not ln.strip().startswith("@")]
+    if not between:
         return m.group(1)
     return None
+
+
+def _decorators_before(content: str, idx: int) -> list[str]:
+    """Decorator names on the lines directly above a declaration
+    (visitor.ts:153-158 emits them as HAS_TAG relationships)."""
+    out: list[str] = []
+    for ln in reversed(content[:idx].split("\n")[:-1]):
+        s = ln.strip()
+        if not s:
+            continue
+        md = _TS_DECORATOR_RE.match(s)
+        if md:
+            out.append(md.group(1))
+            continue
+        break
+    return list(reversed(out))
 
 
 _TS_SKIP_RE = re.compile(
@@ -155,6 +180,10 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
             targets += [t.strip() for t in m.group("ifaces").split(",") if t.strip()]
         for t in targets:
             em.rel(cls_key_tok, keys.text_key(file_key, "class", t), R_DEPENDS_ON)
+        # decorators -> HAS_TAG (visitor.ts:153-158); lowercase 'decorator'
+        # kind tokens, so these candidates drop at J1 like all TS edges
+        for d in _decorators_before(content, m.start()):
+            em.rel(cls_key_tok, keys.text_key(file_key, "decorator", d), R_HAS_TAG)
 
         # class body members
         body_start = m.end()
@@ -186,6 +215,14 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
                 _acc_map(gm.group("acc")), cls=name)
             em.rel(cls_key_tok, keys.text_key(file_key, "property", gm.group("name"), gl),
                    R_CONTAINS)
+        # setter side: its OWN TypeScriptProperty symbol at its own line
+        # (get/set both route through handleMethod, visitor.ts:57,225-227)
+        for sm in _TS_SETTER_RE.finditer(body):
+            sl = _line_of(content, boff + sm.start())
+            sym("TypeScriptProperty", sm.group("name"), "property", sl,
+                _acc_map(sm.group("acc")), cls=name)
+            em.rel(cls_key_tok, keys.text_key(file_key, "property", sm.group("name"), sl),
+                   R_CONTAINS)
         for mm in _TS_METHOD_RE.finditer(body):
             mname = mm.group("name")
             if mname in ("constructor", "get", "if", "for", "while"):
@@ -205,6 +242,10 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
                 em.rel(keys.text_key(file_key, "method", mname),
                        keys.text_key(file_key, "constructor", nw.group(1)), R_INVOKES)
 
+    for m in _TS_NAMESPACE_RE.finditer(content):
+        sym("TypeScriptNamespace", m.group("name"), "namespace",
+            _line_of(content, m.start()), "Public",
+            _doc_before(content, m.start()))
     for m in _TS_IFACE_RE.finditer(content):
         sym("TypeScriptInterface", m.group("name"), "interface",
             _line_of(content, m.start()), "Public", _doc_before(content, m.start()))
@@ -245,6 +286,11 @@ _DART_CLASS_RE = re.compile(
 _DART_MIXIN_RE = re.compile(r"^mixin\s+(?P<name>\w+)", re.MULTILINE)
 _DART_ENUM_RE = re.compile(r"^enum\s+(?P<name>\w+)", re.MULTILINE)
 _DART_EXT_RE = re.compile(r"^extension\s+(?P<name>\w+)\s+on\s+", re.MULTILINE)
+_DART_EXTTYPE_RE = re.compile(r"^extension type\s+(?P<name>\w+)\s*\(", re.MULTILINE)
+_DART_OPERATOR_RE = re.compile(
+    r"^[ \t]+[\w<>]+[ \t]+operator\s*(?P<op>\S+)\s*\([^)]*\)\s*(?:\{|=>)",
+    re.MULTILINE)
+_DART_ANNOTATION_RE = re.compile(r"^@(\w+)\s*(?:\([^)]*\))?\s*$")
 _DART_TYPEDEF_RE = re.compile(r"^typedef\s+(?P<name>\w+)\s*=", re.MULTILINE)
 _DART_FUNC_RE = re.compile(r"^(?P<ret>[\w<>]+)\s+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
 _DART_TOPVAR_RE = re.compile(r"^(?:final|const)\s+[\w<>]+\s+(?P<name>_?\w+)\s*=", re.MULTILINE)
@@ -256,14 +302,30 @@ _DART_CALL_RE = re.compile(r"(\w+)\.(\w+)\s*\(|(?<![\w.])(\w+)\s*\(")
 
 
 def _dart_acc(name: str, annotations: str = "") -> str:
-    """ast_visitor.dart:39-48."""
-    if "@visibleForTesting" in annotations:
+    """ast_visitor.dart:39-48: annotation metadata outranks the _-prefix."""
+    if "visibleForTesting" in annotations:
         return "Internal"
-    if "@protected" in annotations:
+    if "protected" in annotations:
         return "Protected"
     if name.startswith("_"):
         return "Private"
     return "Public"
+
+
+def _dart_annotations_before(content: str, idx: int) -> str:
+    """Annotation lines (node.metadata) directly above a declaration,
+    e.g. '@protected' / '@visibleForTesting'."""
+    names: list[str] = []
+    for ln in reversed(content[:idx].split("\n")[:-1]):
+        s = ln.strip()
+        if not s:
+            continue
+        ma = _DART_ANNOTATION_RE.match(s)
+        if ma:
+            names.append(ma.group(1))
+            continue
+        break
+    return " ".join(names)
 
 
 def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
@@ -272,12 +334,20 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
     em.filemeta(ns or None)
 
     def sym(kind: str, name: str, klass: str, line: int, acc: str | None = None,
-            doc: str | None = None):
-        a = acc if acc is not None else _dart_acc(name)
+            doc: str | None = None, at: int | None = None, fqn: str | None = None):
+        """at: content offset of the declaration — its preceding annotation
+        lines (node.metadata) feed the accessibility map
+        (ast_visitor.dart:39-48)."""
+        if acc is None:
+            ann = _dart_annotations_before(content, at) if at is not None else ""
+            a = _dart_acc(name, ann)
+        else:
+            a = acc
         if not _acc_passes(a, min_acc):
             return
         k = keys.text_key(file_key, kind, name, line)
-        em.symbol(k, name, kind, klass, name, a, ns, line, documentation=doc)
+        em.symbol(k, name, kind, klass, fqn if fqn is not None else name,
+                  a, ns, line, documentation=doc)
 
     for m in _DART_IMPORT_RE.finditer(content):
         spec = m.group(1)
@@ -288,7 +358,7 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
     for m in _DART_CLASS_RE.finditer(content):
         name = m.group("name")
         line = _line_of(content, m.start())
-        sym("DartClass", name, "class", line)
+        sym("DartClass", name, "class", line, at=m.start())
         cls_tok = keys.text_key(file_key, "class", name, line)
         heritage = []
         if m.group("base"):
@@ -314,24 +384,32 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
 
         for fm in _DART_FIELD_RE.finditer(body):
             fl = _line_of(content, boff + fm.start())
-            sym("DartField", fm.group("name"), "field", fl)
+            sym("DartField", fm.group("name"), "field", fl, at=boff + fm.start())
             em.rel(cls_tok, keys.text_key(file_key, "field", fm.group("name"), fl), R_CONTAINS)
             em.rel(cls_tok, keys.text_key(file_key, "class", fm.group("type")), R_DEPENDS_ON)
         for gm in _DART_GETTER_RE.finditer(body):
             gl = _line_of(content, boff + gm.start())
-            sym("DartProperty", gm.group("name"), "property", gl)
+            sym("DartProperty", gm.group("name"), "property", gl, at=boff + gm.start())
             em.rel(cls_tok, keys.text_key(file_key, "property", gm.group("name"), gl), R_CONTAINS)
+        # operator declarations (ast_visitor.dart:276-288): kind
+        # DartOperator, fqn 'operator <op>'
+        for om in _DART_OPERATOR_RE.finditer(body):
+            ol = _line_of(content, boff + om.start())
+            op = om.group("op")
+            sym("DartOperator", op, "operator", ol, at=boff + om.start(),
+                fqn=f"operator {op}")
+            em.rel(cls_tok, keys.text_key(file_key, "operator", op, ol), R_CONTAINS)
         ctor = re.search(rf"^[ \t]+{name}\s*\(", body, re.MULTILINE)
         if ctor:
             cl = _line_of(content, boff + ctor.start())
-            sym("DartConstructor", name, "constructor", cl)
+            sym("DartConstructor", name, "constructor", cl, at=boff + ctor.start())
             em.rel(cls_tok, keys.text_key(file_key, "constructor", name, cl), R_CONTAINS)
         for mm in _DART_METHOD_RE.finditer(body):
             mname = mm.group("name")
             if mname == name or mm.group("ret") in ("final", "const", "return", "get"):
                 continue
             ml = _line_of(content, boff + mm.start())
-            sym("DartMethod", mname, "method", ml)
+            sym("DartMethod", mname, "method", ml, at=boff + mm.start())
             mtok = keys.text_key(file_key, "method", mname, ml)
             em.rel(cls_tok, mtok, R_CONTAINS)
             stmt_end = body.find("}", mm.end())
@@ -341,13 +419,21 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
                        keys.text_key(file_key, "method", c.group(2)), R_INVOKES)
 
     for m in _DART_MIXIN_RE.finditer(content):
-        sym("DartMixin", m.group("name"), "mixin", _line_of(content, m.start()))
+        sym("DartMixin", m.group("name"), "mixin", _line_of(content, m.start()),
+            at=m.start())
     for m in _DART_ENUM_RE.finditer(content):
-        sym("DartEnum", m.group("name"), "enum", _line_of(content, m.start()))
+        sym("DartEnum", m.group("name"), "enum", _line_of(content, m.start()),
+            at=m.start())
     for m in _DART_EXT_RE.finditer(content):
-        sym("DartExtension", m.group("name"), "extension", _line_of(content, m.start()))
+        sym("DartExtension", m.group("name"), "extension", _line_of(content, m.start()),
+            at=m.start())
+    # extension types (ast_visitor.dart:181-200)
+    for m in _DART_EXTTYPE_RE.finditer(content):
+        sym("DartExtensionType", m.group("name"), "extensiontype",
+            _line_of(content, m.start()), at=m.start())
     for m in _DART_TYPEDEF_RE.finditer(content):
-        sym("DartTypeAlias", m.group("name"), "typedef", _line_of(content, m.start()))
+        sym("DartTypeAlias", m.group("name"), "typedef", _line_of(content, m.start()),
+            at=m.start())
     for m in _DART_FUNC_RE.finditer(content):
         name = m.group("name")
         ret = m.group("ret")
@@ -362,6 +448,8 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
             em.rel(keys.text_key(file_key, "function", name),
                    keys.text_key(file_key, "function", c.group(1)), R_INVOKES)
     for m in _DART_TOPVAR_RE.finditer(content):
-        sym("DartField", m.group("name"), "field", _line_of(content, m.start()))
+        sym("DartField", m.group("name"), "field", _line_of(content, m.start()),
+            at=m.start())
     for m in _DART_TOPGET_RE.finditer(content):
-        sym("DartProperty", m.group("name"), "property", _line_of(content, m.start()))
+        sym("DartProperty", m.group("name"), "property", _line_of(content, m.start()),
+            at=m.start())

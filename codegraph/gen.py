@@ -512,10 +512,12 @@ def _render_ts(spec: dict) -> str:
 import React from 'react';
 
 /** doc for Widget{i} */
+@Component()
 export {abstract}class Widget{i} extends Base implements IWidget{i} {{
   private count: number = 0;
   constructor() {{ super(); }}
   get title(): string {{ return 't{i}'; }}
+  set title(v: string) {{ this.count = {i}; }}
   render(): void {{ this.draw(); const h = new Helper(); }}
 }}
 export interface IWidget{i} {{
@@ -524,6 +526,8 @@ export enum Mode{i} {{ A, B }}
 export type Alias{i} = string;
 export function main{i}(): void {{ run(); }}
 export const handler{i} = () => main{i}();
+export namespace Util{i} {{
+}}
 """
 
 
@@ -537,11 +541,17 @@ class Widget{i} extends Base with Mixy{i} implements IWidget{i} {{
   final Helper helper;
   Widget{i}(this.helper);
   int get count => {i};
+  Widget{i} operator +(Widget{i} other) => this;
+  @protected
+  void guard{i}() {{ render(); }}
+  @visibleForTesting
+  void probe{i}() {{ render(); }}
   void render() {{ helper.fix(); }}
 }}
 mixin Mixy{i} {{}}
 enum Mode{i} {{ alpha, beta }}
 typedef Handler{i} = void Function();
+extension type Meters{i}(int v) {{}}
 void {priv}main{i}() {{ render(); }}
 final int level{i} = {i};
 """

@@ -310,21 +310,47 @@ UNION ALL SELECT repo, path, k1 || '.' || k2 FROM l2
 UNION ALL SELECT repo, path, k1 || '.' || k2 || '.' || k3 FROM l3
 UNION ALL SELECT repo, path, k1 || '[' || idx || '].' || ka FROM arrkeys"""
 
-ORACLES["kg_razor_directives"] = f"""WITH {DISC},
-lines AS (
-  SELECT repo, path, unnest(string_split(content, chr(10))) AS l
+# razor: directives keyed off the PROMOTED file key (the generated type's
+# FQN, RazorHandler.cs:61-72) + the generated-tree symbols (component class
+# and its [Inject] properties)
+_RAZOR_BASE = """razor AS (
+  SELECT repo, path, content,
+         regexp_extract(content, '@namespace ([^\\n]+)', 1) AS ns,
+         regexp_replace(string_split(path, '/')[-1], '\\.razor$', '') AS stem
   FROM discovered WHERE lower(path) LIKE '%.razor'
 ),
+rz AS (
+  SELECT *, CASE WHEN ns != '' THEN trim(ns) || '.' || stem END AS gen
+  FROM razor
+),
+rzlines AS (
+  SELECT repo, path, ns, stem, gen,
+         unnest(string_split(content, chr(10))) AS l,
+         generate_subscripts(string_split(content, chr(10)), 1) AS ln
+  FROM rz
+)"""
+
+ORACLES["kg_razor_directives"] = f"""WITH {DISC}, {_RAZOR_BASE},
 d AS (
   SELECT repo, path,
          CASE WHEN l LIKE '@using %' THEN 'UsingDirective'
               WHEN l LIKE '@inject %' THEN 'InjectDirective'
               WHEN l LIKE '@model %' THEN 'ModelDirective'
               ELSE 'InheritsDirective' END AS kind,
-         trim(regexp_extract(l, '^@(?:using|inject|model|inherits)\\s+(.+)$', 1)) AS name
-  FROM lines WHERE regexp_matches(l, '^@(?:using|inject|model|inherits)\\s+(.+)$')
+         trim(regexp_extract(l, '^@(?:using|inject|model|inherits)\\s+(.+)$', 1)) AS name,
+         coalesce(gen, path) AS fk
+  FROM rzlines WHERE regexp_matches(l, '^@(?:using|inject|model|inherits)\\s+(.+)$')
 )
-SELECT repo, path, kind, name, path || ':' || kind || ':' || name AS key FROM d"""
+SELECT repo, path, kind, name, fk || ':' || kind || ':' || name AS key FROM d
+UNION ALL
+SELECT repo, path, 'NamedType', stem, repo || ':' || gen
+FROM rz WHERE gen IS NOT NULL
+UNION ALL
+SELECT repo, path, 'Property',
+       regexp_extract(l, '^@inject [\\w.<>]+ (\\w+)\\s*$', 1),
+       repo || ':' || gen || '.' || regexp_extract(l, '^@inject [\\w.<>]+ (\\w+)\\s*$', 1)
+FROM rzlines
+WHERE gen IS NOT NULL AND regexp_matches(l, '^@inject [\\w.<>]+ \\w+\\s*$')"""
 
 ORACLES["kg_xml_counts"] = f"""WITH {DISC}
 SELECT repo, path,
@@ -339,6 +365,11 @@ ns AS (
          regexp_extract(content, 'namespace ([a-zA-Z0-9_.]+);', 1) AS n
   FROM discovered WHERE lower(path) LIKE '%.cs'
     AND regexp_matches(content, 'namespace [a-zA-Z0-9_.]+;')
+  UNION
+  -- razor generated component types carry the @namespace (language csharp)
+  SELECT DISTINCT repo, trim(regexp_extract(content, '@namespace ([^\\n]+)', 1))
+  FROM discovered WHERE lower(path) LIKE '%.razor'
+    AND regexp_matches(content, '@namespace ')
 ),
 segs AS (SELECT repo, unnest(string_split(n, '.')) AS seg FROM ns)
 SELECT DISTINCT repo,
@@ -369,7 +400,33 @@ ORACLES["kg_commit_stats"] = f"""SELECT repo, count(*) AS n_commits,
        (epoch_ms(max(date)) // 1000) AS last_s
 FROM {CL} GROUP BY repo"""
 
-ORACLES["kg_contains_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX}
+# razor/xaml generated-tree CONTAINS pairs (both endpoints are symbols, so
+# they survive the dangling drop unlike the text-keyed candidates)
+_GEN_CONTAINS = """xam AS (
+  SELECT repo, path, content,
+         regexp_extract(content, 'x:Class="([^"]+)"', 1) AS xcls
+  FROM discovered WHERE lower(path) LIKE '%.xaml'
+),
+xnames AS (
+  SELECT repo, path, xcls,
+         unnest(regexp_extract_all(content, 'x:Name="([^"]+)"', 1)) AS xn
+  FROM xam WHERE xcls != ''
+),
+gen_contains AS (
+  SELECT repo, repo || ':' || gen AS src_key,
+         repo || ':' || gen || '.' || regexp_extract(l, '^@inject [\\w.<>]+ (\\w+)\\s*$', 1) AS dst_key
+  FROM rzlines
+  WHERE gen IS NOT NULL AND regexp_matches(l, '^@inject [\\w.<>]+ \\w+\\s*$')
+  UNION ALL
+  SELECT repo, repo || ':' || xcls,
+         repo || ':' || xcls || '.InitializeComponent()'
+  FROM xam WHERE xcls != ''
+  UNION ALL
+  SELECT repo, repo || ':' || xcls, repo || ':' || xcls || '.' || xn
+  FROM xnames
+)"""
+
+ORACLES["kg_contains_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX}, {_RAZOR_BASE}, {_GEN_CONTAINS}
 SELECT DISTINCT repo, repo || ':' || type_display AS src_key,
        repo || ':' || member_display AS dst_key
 FROM member_keys
@@ -377,7 +434,9 @@ UNION
 -- nested type is a member of the outer type (RoslynSymbolProcessor.cs:288)
 SELECT DISTINCT repo, repo || ':' || outer_display,
        repo || ':' || nested_display
-FROM nested_types"""
+FROM nested_types
+UNION
+SELECT DISTINCT repo, src_key, dst_key FROM gen_contains"""
 
 ORACLES["kg_invokes_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX},
 -- enclosing-method context for body lines
@@ -491,7 +550,7 @@ ORACLES["kg_operator_invokes"] = ORACLES["kg_invokes_edges"].replace(
     "SELECT DISTINCT repo, src_key, dst_key FROM edges "
     "WHERE dst_key LIKE '%operator %'")
 
-ORACLES["kg_depends_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX},
+ORACLES["kg_depends_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX}, {_RAZOR_BASE},
 tokens AS (
   -- field type
   SELECT repo, path, type_display,
@@ -538,10 +597,41 @@ inrepo AS (
   FROM tokens tk
   JOIN cs_types t ON t.repo = tk.repo AND t.name = tk.tok
   WHERE tk.tok NOT IN ('int', 'double', 'string', 'void', 'bool', 'long')
+),
+-- razor generated types: @inject property type deps resolved against the
+-- candidate namespaces (@namespace, @usings, then the repo's global usings)
+gus AS (
+  SELECT DISTINCT repo,
+         regexp_extract(content, 'global using ([\\w.]+);', 1) AS gns
+  FROM discovered
+  WHERE lower(path) LIKE '%.cs' AND regexp_matches(content, 'global using [\\w.]+;')
+),
+rzinj AS (
+  SELECT repo, gen, trim(ns) AS pns,
+         regexp_extract(l, '^@inject ([\\w.<>]+) ', 1) AS tok
+  FROM rzlines WHERE gen IS NOT NULL AND regexp_matches(l, '^@inject [\\w.<>]+ \\w+')
+),
+rzcand AS (
+  SELECT repo, gen, tok, pns AS cand, 0 AS prio FROM rzinj
+  UNION ALL
+  SELECT r.repo, r.gen, r.tok,
+         trim(regexp_extract(u.l, '^@using ([\\w.]+)', 1)), 1
+  FROM rzinj r JOIN rzlines u
+    ON r.repo = u.repo AND r.gen = u.gen AND regexp_matches(u.l, '^@using [\\w.]+')
+  UNION ALL
+  SELECT r.repo, r.gen, r.tok, g.gns, 2 FROM rzinj r JOIN gus g ON r.repo = g.repo
+),
+rzdep AS (
+  SELECT c.repo, c.gen, c.tok, min_by(t.display, c.prio) AS dst
+  FROM rzcand c
+  JOIN cs_types t ON t.repo = c.repo AND t.ns = c.cand AND t.name = c.tok
+  GROUP BY c.repo, c.gen, c.tok
 )
-SELECT repo, src_key, dst_key FROM inrepo"""
+SELECT repo, src_key, dst_key FROM inrepo
+UNION
+SELECT DISTINCT repo, repo || ':' || gen, repo || ':' || dst FROM rzdep"""
 
-ORACLES["kg_cc"] = f"""WITH RECURSIVE {DISC}, {CS}, {CS_CTX},
+ORACLES["kg_cc"] = f"""WITH RECURSIVE {DISC}, {CS}, {CS_CTX}, {_RAZOR_BASE}, {_GEN_CONTAINS},
 e AS (
   SELECT repo || chr(30) || repo || ':' || type_display AS src,
          repo || chr(30) || repo || ':' || member_display AS dst
@@ -550,6 +640,9 @@ e AS (
   SELECT repo || chr(30) || repo || ':' || outer_display,
          repo || chr(30) || repo || ':' || nested_display
   FROM nested_types
+  UNION
+  SELECT repo || chr(30) || src_key, repo || chr(30) || dst_key
+  FROM gen_contains
 ),
 e2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
 nodes AS (SELECT DISTINCT a AS node FROM e2),
@@ -559,6 +652,183 @@ reach AS (
   SELECT reach.node, e2.b FROM reach JOIN e2 ON reach.r = e2.a
 )
 SELECT node, min(r) AS comp FROM reach GROUP BY node"""
+
+# XAML generated .g.cs symbols: partial class from x:Class,
+# InitializeComponent(), one private field per x:Name (XamlHandler.cs:62-87)
+ORACLES["kg_xaml_symbols"] = f"""WITH {DISC},
+xam AS (
+  SELECT repo, path, content,
+         regexp_extract(content, 'x:Class="([^"]+)"', 1) AS xcls
+  FROM discovered WHERE lower(path) LIKE '%.xaml'
+),
+xl AS (
+  SELECT repo, path, xcls,
+         unnest(string_split(content, chr(10))) AS l,
+         generate_subscripts(string_split(content, chr(10)), 1) AS ln
+  FROM xam WHERE xcls != ''
+)
+SELECT repo, path, 'NamedType' AS kind,
+       string_split(xcls, '.')[-1] AS name,
+       repo || ':' || xcls AS key, 1 AS start_line
+FROM xam WHERE xcls != ''
+UNION ALL
+SELECT repo, path, 'Method', 'InitializeComponent',
+       repo || ':' || xcls || '.InitializeComponent()', 1
+FROM xam WHERE xcls != ''
+UNION ALL
+SELECT repo, path, 'Field',
+       regexp_extract(l, 'x:Name="([^"]+)"', 1),
+       repo || ':' || xcls || '.' || regexp_extract(l, 'x:Name="([^"]+)"', 1),
+       ln
+FROM xl WHERE regexp_matches(l, 'x:Name="')"""
+
+# TS/JS symbols re-derived per line: project resolution via the package.json
+# ancestor join (files without one are skipped, TypeScriptHandlerBase.cs:36-41),
+# kinds/keys/fqn per visitor.ts + TextSymbolMapper re-keying
+ORACLES["kg_ts_symbols"] = f"""WITH {DISC},
+pkg AS (
+  SELECT repo, regexp_replace(path, '/[^/]*$', '') AS dir,
+         json_extract_string(content, '$.name') AS project
+  FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'package.json'
+),
+tsf AS (
+  SELECT d.repo, d.path, d.content, p.project,
+         substr(d.path, length(p.dir) + 2) AS rel
+  FROM discovered d
+  JOIN pkg p ON d.repo = p.repo AND d.path LIKE p.dir || '/%'
+  WHERE regexp_matches(lower(d.path), '\\.(ts|tsx|js)$')
+),
+tl AS (
+  SELECT repo, path, project, rel,
+         unnest(string_split(content, chr(10))) AS l,
+         generate_subscripts(string_split(content, chr(10)), 1) AS ln,
+         regexp_extract(content, 'class (\\w+)', 1) AS cls
+  FROM tsf
+),
+syms AS (
+  SELECT repo, path, project, rel, ln,
+         CASE WHEN regexp_matches(l, '^export abstract class ')
+              THEN 'TypeScriptAbstractClass' ELSE 'TypeScriptClass' END AS kind,
+         regexp_extract(l, 'class (\\w+)', 1) AS name, NULL AS cls
+  FROM tl WHERE regexp_matches(l, '^export (abstract )?class \\w+')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptField',
+         regexp_extract(l, '^  private (\\w+):', 1), cls
+  FROM tl WHERE regexp_matches(l, '^  private \\w+: ')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptConstructor', 'constructor', cls
+  FROM tl WHERE regexp_matches(l, '^  constructor\\(')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptProperty',
+         regexp_extract(l, '^  (?:get|set) (\\w+)\\(', 1), cls
+  FROM tl WHERE regexp_matches(l, '^  (get|set) \\w+\\(')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptMethod',
+         regexp_extract(l, '^  (\\w+)\\(', 1), cls
+  FROM tl WHERE regexp_matches(l, '^  \\w+\\([^)]*\\): \\w+ \\{{')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptNamespace',
+         regexp_extract(l, 'namespace (\\w+)', 1), NULL
+  FROM tl WHERE regexp_matches(l, '^(export )?namespace \\w+')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptInterface',
+         regexp_extract(l, 'interface (\\w+)', 1), NULL
+  FROM tl WHERE regexp_matches(l, '^(export )?interface \\w+')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptEnum',
+         regexp_extract(l, 'enum (\\w+)', 1), NULL
+  FROM tl WHERE regexp_matches(l, '^(export )?enum \\w+')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptTypeAlias',
+         regexp_extract(l, 'type (\\w+)', 1), NULL
+  FROM tl WHERE regexp_matches(l, '^(export )?type \\w+ =')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptFunction',
+         regexp_extract(l, 'function (\\w+)', 1), NULL
+  FROM tl WHERE regexp_matches(l, '^(export )?(async )?function \\w+\\(')
+  UNION ALL
+  SELECT repo, path, project, rel, ln, 'TypeScriptFunction',
+         regexp_extract(l, 'const (\\w+)', 1), NULL
+  FROM tl WHERE regexp_matches(l, '^(export )?const \\w+ = \\(\\) =>')
+)
+SELECT repo, path, kind, name,
+       path || ':' || kind || ':' || name || ':' || ln AS key,
+       '@' || project || '/' || rel || '::'
+         || CASE WHEN cls IS NULL THEN name ELSE cls || '.' || name END AS fqn,
+       ln AS start_line
+FROM syms"""
+
+# Dart symbols with annotation-driven accessibility (ast_visitor.dart:39-48)
+ORACLES["kg_dart_symbols"] = f"""WITH {DISC},
+dl AS (
+  SELECT repo, path,
+         unnest(string_split(content, chr(10))) AS l,
+         generate_subscripts(string_split(content, chr(10)), 1) AS ln,
+         regexp_extract(content, 'class (\\w+)', 1) AS cls
+  FROM discovered WHERE lower(path) LIKE '%.dart'
+),
+dl2 AS (
+  SELECT *, coalesce(lag(l) OVER (PARTITION BY repo, path ORDER BY ln), '') AS prev
+  FROM dl
+),
+syms AS (
+  SELECT repo, path, ln, 'DartClass' AS kind,
+         regexp_extract(l, '^class (\\w+)', 1) AS name, NULL AS fq, prev
+  FROM dl2 WHERE regexp_matches(l, '^class \\w+')
+  UNION ALL
+  SELECT repo, path, ln, 'DartField',
+         regexp_extract(l, '^  (?:final |const |late )?[\\w<>]+ (_?\\w+)(?: = [^;]*)?;', 1),
+         NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^  (final |const |late )?[\\w<>]+ _?\\w+( = [^;]*)?;$')
+  UNION ALL
+  SELECT repo, path, ln, 'DartProperty',
+         regexp_extract(l, ' get (_?\\w+)', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^  [\\w<>]+ get _?\\w+ =>')
+  UNION ALL
+  SELECT repo, path, ln, 'DartOperator',
+         regexp_extract(l, ' operator (\\S+)\\(', 1),
+         'operator ' || regexp_extract(l, ' operator (\\S+)\\(', 1), prev
+  FROM dl2 WHERE regexp_matches(l, '^  [\\w<>]+ operator \\S+\\(')
+  UNION ALL
+  SELECT repo, path, ln, 'DartConstructor', cls, NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^  \\w+\\(this\\.') AND regexp_extract(l, '^  (\\w+)\\(', 1) = cls
+  UNION ALL
+  SELECT repo, path, ln, 'DartMethod',
+         regexp_extract(l, '^  [\\w<>]+ (_?\\w+)\\(', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^  [\\w<>]+ _?\\w+\\([^)]*\\)\\s*(\\{{|=>)')
+    AND NOT regexp_matches(l, ' operator | get ')
+  UNION ALL
+  SELECT repo, path, ln, 'DartMixin', regexp_extract(l, '^mixin (\\w+)', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^mixin \\w+')
+  UNION ALL
+  SELECT repo, path, ln, 'DartEnum', regexp_extract(l, '^enum (\\w+)', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^enum \\w+')
+  UNION ALL
+  SELECT repo, path, ln, 'DartExtensionType',
+         regexp_extract(l, '^extension type (\\w+)\\(', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^extension type \\w+\\(')
+  UNION ALL
+  SELECT repo, path, ln, 'DartTypeAlias', regexp_extract(l, '^typedef (\\w+)', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^typedef \\w+ =')
+  UNION ALL
+  SELECT repo, path, ln, 'DartFunction',
+         regexp_extract(l, '^[\\w<>]+ (_?\\w+)\\(', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^[\\w<>]+ _?\\w+\\([^)]*\\)\\s*(\\{{|=>)')
+    AND NOT regexp_matches(l, '^(class|mixin|enum|extension|typedef|import|final|const)\\b')
+  UNION ALL
+  SELECT repo, path, ln, 'DartField',
+         regexp_extract(l, '^(?:final|const) [\\w<>]+ (_?\\w+) =', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^(final|const) [\\w<>]+ _?\\w+ =')
+)
+SELECT repo, path, kind, name,
+       path || ':' || kind || ':' || name || ':' || ln AS key,
+       coalesce(fq, name) AS fqn,
+       CASE WHEN prev LIKE '%@visibleForTesting%' THEN 'Internal'
+            WHEN prev LIKE '%@protected%' THEN 'Protected'
+            WHEN name LIKE '\\_%' ESCAPE '\\' THEN 'Private'
+            ELSE 'Public' END AS accessibility,
+       ln AS start_line
+FROM syms WHERE name IS NOT NULL AND name != ''"""
 
 # --- relational analogs (driver-registered TPC-H views) ----------------------
 

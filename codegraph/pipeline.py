@@ -240,15 +240,17 @@ def run_pipeline(
         symbols = symbols.persist()
 
     # --- files table (UpsertFile.cypher property set) ----------------------
+    # razor files carry a PROMOTED key: the generated type's FQN
+    # (RazorHandler.cs:61-72; the handler's FileResult feeds the File upsert)
     overrides = (records.filter(F.col("rec") == "filemeta")
-                 .select("repo", "path", "file_namespace", "lang", "language",
-                         "technology"))
+                 .select("repo", "path", "file_namespace", "file_key_override",
+                         "lang", "language", "technology"))
     files = (
         with_inferred_namespace(files_src)
         .join(overrides, ["repo", "path"], "left")
         .select(
             "repo",
-            F.col("path").alias("key"),
+            F.coalesce(F.col("file_key_override"), F.col("path")).alias("key"),
             F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
             "path",
             F.coalesce(F.col("file_namespace"), F.col("inferred_namespace")).alias("namespace"),
@@ -286,10 +288,18 @@ def run_pipeline(
 
     # --- structural edges ---------------------------------------------------
     # DECLARES accumulates from every flushed symbol row (UpsertSymbols.cypher:20-22)
-    declares = (raw_symbols.select(
-        "repo", F.col("path").alias("src_key"),
-        F.lit(S.R_DECLARES).alias("rel_type"), F.col("key").alias("dst_key"))
-        .distinct())
+    # with the file side using the promoted key where one exists
+    promo = (overrides.filter(F.col("file_key_override").isNotNull())
+             .select("repo", "path",
+                     F.col("file_key_override").alias("_promoted_key")))
+    declares = (raw_symbols
+                .join(F.broadcast(promo), ["repo", "path"], "left")
+                .select(
+                    "repo",
+                    F.coalesce(F.col("_promoted_key"), F.col("path")).alias("src_key"),
+                    F.lit(S.R_DECLARES).alias("rel_type"),
+                    F.col("key").alias("dst_key"))
+                .distinct())
     has_file = files.select(
         "repo", F.col("repo").alias("src_key"),
         F.lit(S.R_HAS_FILE).alias("rel_type"), F.col("key").alias("dst_key"))

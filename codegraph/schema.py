@@ -151,8 +151,10 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("url_dep_key", T.StringType(), True),
     T.StructField("url_key", T.StringType(), True),
     T.StructField("url_name", T.StringType(), True),
-    # filemeta override (SolutionProcessor.cs:290-291)
+    # filemeta override (SolutionProcessor.cs:290-291); razor promotes the
+    # file key to the generated type's FQN (RazorHandler.cs:36-78)
     T.StructField("file_namespace", T.StringType(), True),
+    T.StructField("file_key_override", T.StringType(), True),
 ])
 
 # --- output tables (FIXTURES.md §4) ------------------------------------------

@@ -100,12 +100,31 @@ def test_razor_directives():
     rows = _extract_one("r", "src/Pages/P.razor", RAZOR, PRIV, {}, {})
     syms = {s["kind"]: s for s in _syms(rows)}
     assert set(syms) == {"UsingDirective", "InjectDirective", "ModelDirective",
-                         "InheritsDirective"}
+                         "InheritsDirective", "NamedType", "Property"}
     assert syms["InjectDirective"]["name"] == "Helper Service"  # whole rest of line
-    assert syms["UsingDirective"]["key"] == "src/Pages/P.razor:UsingDirective:MyApp.Core"
-    assert all(s["klass"] == "component" for s in _syms(rows))
+    # directives are keyed off the PROMOTED file key — the generated type's
+    # FQN (RazorHandler.cs:61-72; ExtractDirectives runs after promotion)
+    assert syms["UsingDirective"]["key"] == "MyApp.Pages.P:UsingDirective:MyApp.Core"
     fm = [r for r in rows if r["rec"] == "filemeta"][0]
     assert fm["file_namespace"] == "MyApp.Pages"
+    assert fm["file_key_override"] == "MyApp.Pages.P"
+
+
+def test_razor_generated_tree():
+    """RazorHandler.cs:36-78: the generated component class + its [Inject]
+    properties, with the @inject type emitted as a resolvable type mention."""
+    rows = _extract_one("r", "src/Pages/P.razor", RAZOR, PRIV, {}, {})
+    syms = {s["key"]: s for s in _syms(rows)}
+    assert "r:MyApp.Pages.P" in syms
+    assert syms["r:MyApp.Pages.P"]["kind"] == "NamedType"
+    assert syms["r:MyApp.Pages.P"]["language"] == "csharp"
+    assert "r:MyApp.Pages.P.Service" in syms
+    assert syms["r:MyApp.Pages.P.Service"]["accessibility"] == "Private"
+    rels = _rels(rows)
+    assert ("r:MyApp.Pages.P", "src__CONTAINS", "r:MyApp.Pages.P.Service") in rels
+    m = [x for x in rows if x["rec"] == "mention" and x["m_kind"] == "type"]
+    assert m and m[0]["m_name"] == "Helper"
+    assert m[0]["m_usings"].split("\x1f") == ["MyApp.Pages", "MyApp.Core"]
 
 
 # --- XML (XmlHandler.cs) --------------------------------------------------------
@@ -332,3 +351,80 @@ def test_dart():
         if r["rec"] == "rel":
             rel_keys.update((r["src_key"], r["dst_key"]))
     assert rel_keys.isdisjoint(set(syms))
+
+
+def test_xaml_generated_tree():
+    """XamlHandler.cs:62-87: the x:Class partial class, InitializeComponent,
+    and one private field per x:Name — file key NOT promoted."""
+    rows = _extract_one("r", "src/Views/Main.xaml", XAML, PRIV, {}, {})
+    syms = {s["key"]: s for s in _syms(rows)}
+    assert "r:MyApp.Views.MainPage" in syms
+    assert syms["r:MyApp.Views.MainPage"]["kind"] == "NamedType"
+    assert "r:MyApp.Views.MainPage.InitializeComponent()" in syms
+    f = syms["r:MyApp.Views.MainPage.SaveButton"]
+    assert f["kind"] == "Field" and f["accessibility"] == "Private"
+    rels = _rels(rows)
+    assert ("r:MyApp.Views.MainPage", "src__CONTAINS",
+            "r:MyApp.Views.MainPage.SaveButton") in rels
+    # field type (Button) dangles like a BCL dep
+    assert ("r:MyApp.Views.MainPage", "src__DEPENDS_ON", "r:Button") in rels
+    fm = [r for r in rows if r["rec"] == "filemeta"][0]
+    assert fm["file_key_override"] is None
+
+
+DART_ANN = """class Vault {
+  final int size;
+  Vault(this.size);
+  Vault operator +(Vault other) => this;
+  @protected
+  void lock() { run(); }
+  @visibleForTesting
+  void peek() { run(); }
+  void _hide() { run(); }
+}
+extension type Grams(int v) {}
+"""
+
+
+def test_dart_annotations():
+    """ast_visitor.dart:39-48: annotation metadata outranks the _-prefix;
+    operator declarations get fqn 'operator <op>'; extension types emit."""
+    rows = _extract_one("r", "dart_app/lib/vault.dart", DART_ANN, PRIV, {}, {})
+    by_name = {s["name"]: s for s in _syms(rows)}
+    assert by_name["lock"]["accessibility"] == "Protected"
+    assert by_name["peek"]["accessibility"] == "Internal"
+    assert by_name["_hide"]["accessibility"] == "Private"
+    assert by_name["+"]["kind"] == "DartOperator"
+    assert by_name["+"]["fqn"] == "operator +"
+    assert by_name["Grams"]["kind"] == "DartExtensionType"
+
+
+TS_EXTRAS = """import React from 'react';
+
+/** docs */
+@Injectable()
+export class Store {
+  private items: number = 0;
+  get size(): string { return 's'; }
+  set size(v: string) { this.items = 1; }
+}
+export namespace Logging {
+}
+"""
+
+
+def test_ts_setter_namespace_decorator():
+    """visitor.ts: set accessors are their own TypeScriptProperty symbols
+    (:225-227), namespace declarations emit (:195-213), decorators become
+    HAS_TAG candidates (:153-158) that drop at linking like all TS edges."""
+    ts_projects = {("r", "web"): "webapp"}
+    rows = _extract_one("r", "web/src/store.ts", TS_EXTRAS, PRIV, ts_projects, {})
+    syms = {s["key"]: s for s in _syms(rows)}
+    assert "web/src/store.ts:TypeScriptProperty:size:7" in syms   # getter
+    assert "web/src/store.ts:TypeScriptProperty:size:8" in syms   # setter
+    assert "web/src/store.ts:TypeScriptNamespace:Logging:10" in syms
+    # doc survives across the decorator line
+    assert syms["web/src/store.ts:TypeScriptClass:Store:5"]["documentation"] == "docs"
+    rels = _rels(rows)
+    assert ("web/src/store.ts:class:Store:5", "src__HAS_TAG",
+            "web/src/store.ts:decorator:Injectable") in rels
