@@ -438,6 +438,13 @@ def _q_doc_minhash_lsh(spark, sf_dir):
                              bands=16)
 
 
+def _q_doc_embed_dedup(spark, sf_dir):
+    from codegraph.textops import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_table(spark, sf_dir, "documents"),
+                                  dim=256, threshold=0.95)
+
+
 def _q_doc_simhash(spark, sf_dir):
     from codegraph.textops import simhash
 
@@ -546,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_minhash_lsh": _q_doc_minhash_lsh,
+        "doc_embed_dedup": _q_doc_embed_dedup,
         "doc_simhash": _q_doc_simhash,
         "doc_langid": _q_doc_langid,
         "doc_quality": _q_doc_quality,

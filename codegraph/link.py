@@ -151,49 +151,29 @@ def _as_edge(df: DataFrame, dst_col: str) -> DataFrame:
                      F.col(dst_col).alias("dst_key"))
 
 
-def _pick_member(df: DataFrame, members: DataFrame, lookup_cond,
-                 extra_ids: list[str] | None = None,
-                 extra_rank=None) -> DataFrame:
-    """Overload-aware member selection on an already-type-resolved mention
-    set (df carries t_display). Rank 0: the mention's classified argument
-    tokens equal the declared parameter tokens; rank 1: arity match (or a
-    method-group mention with no argument list); otherwise no edge — the
-    Roslyn overload-resolution-failure analog."""
-    ids = _MENTION_ID_COLS + (extra_ids or [])
-    norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
-        .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
-    joined = df.join(
-        members,
-        on=[F.col("repo") == F.col("mm_repo"),
-            F.col("t_display") == F.col("type_display"), lookup_cond],
-        how="inner")
-    rank = (
-        F.when(norm_args.isNotNull() & ~norm_args.contains("?")
-               & (F.col("params") == norm_args), F.lit(0))
-        .when(F.col("m_nargs").isNull(), F.lit(1))
-        .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
-        .otherwise(F.lit(99)))
-    if extra_rank is not None:
-        rank = rank + extra_rank
-    joined = joined.withColumn("_rank", rank).filter(F.col("_rank") < 99)
-    return (
-        joined.groupBy(*ids)
-        .agg(F.expr("min_by(member_key, struct(_rank, member_key))")
-             .alias("member_key"))
-    )
-
-
 def resolve_mentions(records: DataFrame, symbols: DataFrame,
                      salt: int = 0) -> DataFrame:
     """mention records -> resolved candidate edges (repo, src_key, rel_type,
     dst_key). Duplicate mentions are collapsed first — MERGE semantics make
-    edge multiplicity irrelevant (§1.4.4)."""
+    edge multiplicity irrelevant (§1.4.4).
+
+    Shuffle budget (the whole resolution is TWO ranked lookups):
+    1. ONE type-resolution pass — every mention kind that names a type
+       explodes its candidate token(s) (conversions try operand AND target,
+       the two places C# allows the declaration) x candidate namespaces,
+       joins the type dictionary once, min_by(priority).
+    2. ONE member-lookup pass — ctor/invoke/operator/conversion mentions
+       explode their acceptable lookup names (1-2 each), join the member
+       dictionary once, and rank: declared-param-token equality (0), arity
+       or no-arg-list (1), else drop — the Roslyn overload-resolution-failure
+       analog. Cast syntax prefers explicit over implicit via lookup order.
+    """
     types, members, nss = build_dictionaries(symbols)
-    mentions = (
-        records.filter(F.col("rec") == "mention")
-        .select(*_MENTION_ID_COLS)
-        .distinct()
-    )
+    # NO up-front distinct: the mention set is read 3x (global pool, type
+    # pass, member pass) and a distinct would shuffle the full width each
+    # time; the ranked min_by groupBys and the final edge distinct already
+    # collapse duplicates
+    mentions = records.filter(F.col("rec") == "mention").select(*_MENTION_ID_COLS)
 
     # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
     global_ns = (mentions.filter(F.col("m_kind") == "global_using")
@@ -201,76 +181,68 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                          F.col("m_name").alias("cand_ns"))
                  .distinct())
 
-    # --- ONE type-resolution pass for every mention kind that names a type:
-    #     type/ctor mentions resolve m_name, via/static/operator mentions
-    #     resolve the receiver/operand token. One explode + one dictionary
-    #     join + one min_by instead of parallel pipelines.
-    needs_type = mentions.filter(
-        F.col("m_kind").isin("type", "ctor", "invoke_via", "invoke_static", "op"))
-    needs_type = needs_type.withColumn(
-        "resolve_tok",
-        F.when(F.col("m_kind").isin("type", "ctor"), F.col("m_name"))
-        .otherwise(F.col("m_recv")))
-    resolved_t = _resolve_types(needs_type, types, "resolve_tok", salt, global_ns)
-
-    type_edges = _as_edge(resolved_t.filter(F.col("m_kind") == "type"), "t_key")
-
-    # ctor: overload-aware (classified arg tokens, then arity)
-    ctor_edges = _as_edge(
-        _pick_member(resolved_t.filter(F.col("m_kind") == "ctor"), members,
-                     F.col("lookup_name") == F.lit("<ctor>")),
-        "member_key")
-
-    # field/static-receiver invocations + user-defined operators: member
-    # lookup on the resolved type (operators carry m_name 'operator +')
-    via_edges = _as_edge(
-        _pick_member(
-            resolved_t.filter(F.col("m_kind").isin("invoke_via", "invoke_static", "op")),
-            members, F.col("lookup_name") == F.col("m_name")),
-        "member_key")
-
-    # --- own-type invocations (incl. method groups): m_recv already holds
-    #     the type display
-    im = (mentions.filter(F.col("m_kind") == "invoke")
-          .withColumn("t_display", F.col("m_recv")))
-    own_edges = _as_edge(
-        _pick_member(im, members, F.col("lookup_name") == F.col("m_name")),
-        "member_key")
-
-    # --- user-defined conversions: the operator may be declared on the
-    #     operand type OR the target type (C# conversion declaration rule).
-    #     conv_impl (initializer/argument/return positions) binds implicit
-    #     operators only; conv_expl (cast syntax) prefers explicit over
-    #     implicit when both exist.
-    conv = mentions.filter(F.col("m_kind").isin("conv_impl", "conv_expl"))
+    kind = F.col("m_kind")
     kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
-    conv = (conv.select(
-        "*", F.explode(F.array_distinct(F.array("m_recv", "m_name")))
-        .alias("resolve_tok"))
-        .filter(F.col("resolve_tok").isNotNull()
-                & (F.col("resolve_tok") != "")
+
+    # --- pass 1: type resolution ------------------------------------------
+    toks = (F.when(kind.isin("type", "ctor"), F.array("m_name"))
+            .when(kind.isin("invoke_via", "invoke_static", "op"), F.array("m_recv"))
+            .otherwise(F.array_distinct(F.array("m_recv", "m_name"))))  # conv_*
+    needs_type = (
+        mentions.filter(kind.isin("type", "ctor", "invoke_via", "invoke_static",
+                                  "op", "conv_impl", "conv_expl"))
+        .select("*", F.explode(toks).alias("resolve_tok"))
+        .filter(F.col("resolve_tok").isNotNull() & (F.col("resolve_tok") != "")
                 & ~F.array_contains(kw, F.col("resolve_tok"))
                 & ~F.col("resolve_tok").startswith("System.")))
-    resolved_c = _resolve_types(conv, types, "resolve_tok", salt, global_ns,
+    resolved_t = _resolve_types(needs_type, types, "resolve_tok", salt, global_ns,
                                 extra_ids=["resolve_tok"])
+
+    type_edges = _as_edge(resolved_t.filter(kind == "type"), "t_key")
+
+    # --- pass 2: member lookup ----------------------------------------------
+    # own-type invocations (incl. method groups) skip type resolution: m_recv
+    # already holds the containing type display
+    own = (mentions.filter(kind == "invoke")
+           .withColumn("t_display", F.col("m_recv"))
+           .withColumn("resolve_tok", F.lit(None).cast("string")))
+    member_mentions = resolved_t.filter(
+        kind.isin("ctor", "invoke_via", "invoke_static", "op",
+                  "conv_impl", "conv_expl")).drop("t_key") \
+        .unionByName(own)
     impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
     expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
-    conv_lookup = F.when(F.col("m_kind") == "conv_impl",
-                         F.col("lookup_name") == impl_name) \
-        .otherwise((F.col("lookup_name") == expl_name)
-                   | (F.col("lookup_name") == impl_name))
-    # conversion mentions carry no arg list (name-rank only, via the
-    # m_nargs-null rule); cast syntax prefers explicit when both exist
-    conv_rank = F.when((F.col("m_kind") == "conv_expl")
-                       & (F.col("lookup_name") == impl_name), F.lit(1)) \
-        .otherwise(F.lit(0))
-    conv_edges = _as_edge(
-        _pick_member(resolved_c, members, conv_lookup, extra_rank=conv_rank),
+    lookups = (F.when(kind == "ctor", F.array(F.lit("<ctor>")))
+               .when(kind == "conv_impl", F.array(impl_name))
+               .when(kind == "conv_expl", F.array(expl_name, impl_name))
+               .otherwise(F.array("m_name")))
+    cand = member_mentions.select(
+        "*", F.posexplode(lookups).alias("lrank", "lookup"))
+    joined = cand.join(
+        members,
+        on=[F.col("repo") == F.col("mm_repo"),
+            F.col("t_display") == F.col("type_display"),
+            F.col("lookup") == F.col("lookup_name")],
+        how="inner")
+    norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
+        .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
+    rank = (
+        F.when(norm_args.isNotNull() & ~norm_args.contains("?")
+               & (F.col("params") == norm_args), F.lit(0))
+        .when(F.col("m_nargs").isNull(), F.lit(1))
+        .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
+        .otherwise(F.lit(99)))
+    joined = joined.withColumn("_rank", rank * 10 + F.col("lrank")) \
+        .filter(F.col("_rank") < 990)
+    member_edges = _as_edge(
+        joined.groupBy(*_MENTION_ID_COLS)
+        .agg(F.expr("min_by(member_key, struct(_rank, member_key))")
+             .alias("member_key")),
         "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
     #     namespaces are same-assembly => no edge (RoslynSymbolProcessor.cs:47-65)
-    um = mentions.filter(F.col("m_kind") == "using")
+    um = mentions.filter(kind == "using")
     ext_using = (
         um.join(nss, on=[um.repo == nss.n_repo, um.m_name == nss.ns], how="left_anti")
         .select("repo", F.col("m_from_key").alias("src_key"),
@@ -278,9 +250,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                 F.concat(F.col("repo"), F.lit(":"), F.col("m_name")).alias("dst_key"))
     )
 
-    return (type_edges.unionByName(ctor_edges).unionByName(own_edges)
-            .unionByName(via_edges).unionByName(conv_edges)
-            .unionByName(ext_using))
+    return type_edges.unionByName(member_edges).unionByName(ext_using)
 
 
 def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:

@@ -910,6 +910,26 @@ ORACLES["doc_ngram_jaccard"] = _JACCARD_PAIRS
 # the LSH-prefiltered pipeline is exact-verified, so it equals brute force
 ORACLES["doc_minhash_lsh"] = _JACCARD_PAIRS
 
+# embedding-cosine near-dup on hashed-BoW vectors: integer dot products and
+# squared norms over the inverted bucket index; one exact division at the end
+ORACLES["doc_embed_dedup"] = f"""WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+v AS (
+  SELECT doc_id, ({_HASH.format(col='tok')}) % 256 AS bucket, count(*) AS cnt
+  FROM toks GROUP BY doc_id, bucket
+),
+sqn AS (SELECT doc_id, sum(cnt * cnt) AS sq FROM v GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.cnt * b.cnt) AS dot
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round((dot * dot) * 1.0 / (sa.sq * sb.sq), 6) AS cosine_sq
+FROM dots JOIN sqn sa ON sa.doc_id = id_a JOIN sqn sb ON sb.doc_id = id_b
+WHERE round((dot * dot) * 1.0 / (sa.sq * sb.sq), 6) >= 0.9025"""
+
 ORACLES["doc_simhash"] = f"""WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
 ),
@@ -978,6 +998,18 @@ FROM documents"""
 
 ORACLES["doc_fingerprint"] = """SELECT doc_id,
   sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+# multimodal metadata: the synthetic payload header is a pure function of
+# doc_id (multimodal.synth_blobs), so the oracle recomputes what the Spark
+# side must recover by round-tripping doc_id -> binary payload -> header
+# parse through the Arrow-batched decoder kernel
+ORACLES["mm_metadata"] = """SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  80::BIGINT AS n_bytes,
+  16 + (doc_id * 7) % 1024 AS width,
+  16 + (doc_id * 13) % 768 AS height,
+  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + doc_id % 120 END AS n_frames
 FROM documents"""
 
 ORACLES["emb_cosine_topk"] = """WITH e AS (

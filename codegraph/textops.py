@@ -176,6 +176,53 @@ def jaccard_pairs_for(docs: DataFrame, candidates: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup: deterministic hashed bag-of-words vectors
+# (dim buckets, token-hash % dim, count weights) compared by cosine via an
+# INVERTED-INDEX join — pairs meet only on shared buckets, never the full
+# cross join, so the shuffle is |buckets| x bucket-population instead of
+# |docs|^2 (cosine > 0 requires >=1 shared bucket, so the result is exact).
+# All arithmetic stays integer until one final division: dot products and
+# squared norms of count vectors are exact ints, so the DuckDB twin computes
+# bit-identical values (cosine^2 = dot^2 / (|a|^2 |b|^2)).
+# ---------------------------------------------------------------------------
+
+
+def doc_vectors(docs: DataFrame, dim: int = 256) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed bag-of-words count vector, sparse."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = F.expr(_token_hash_sql("tok")) % dim
+    return (toks.select("doc_id", h.alias("bucket"))
+            .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def embedding_cosine_dedup(docs: DataFrame, dim: int = 256,
+                           threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate pairs by cosine of hashed-BoW embeddings:
+    cosine^2(a, b) >= threshold^2, computed exactly in integers."""
+    v = doc_vectors(docs, dim)
+    sqn = v.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("sq"))
+    a = v.alias("a")
+    b = v.alias("b")
+    dots = (a.join(b, "bucket")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")))
+    out = (dots
+           .join(sqn.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("sq", "sq_a"), "id_a")
+           .join(sqn.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("sq", "sq_b"), "id_b")
+           .withColumn("cosine_sq", F.round(
+               (F.col("dot") * F.col("dot")).cast("double")
+               / (F.col("sq_a") * F.col("sq_b")), 6)))
+    # threshold applied on the ROUNDED value with a round literal so the
+    # DuckDB twin's constant compares identically (no float-literal drift)
+    return (out.filter(F.col("cosine_sq") >= round(threshold * threshold, 6))
+            .select("id_a", "id_b", "cosine_sq"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash (31-bit, portable hash) — exact cross-engine parity
 # ---------------------------------------------------------------------------
 

@@ -110,3 +110,16 @@ def test_langid_deterministic(spark, docs):
     b = lang_id(docs).orderBy("doc_id").toPandas()
     assert a.equals(b)
     assert set(a["pred_lang"]) <= {"en", "de", "fr", "es", "unknown"}
+
+
+def test_embedding_cosine_dedup_matches_text_near_dups(spark, docs):
+    """Hashed-BoW cosine near-dup (exact integer arithmetic over an inverted
+    bucket index) finds the same pair set as the shingle-jaccard ground truth
+    on this corpus (both are views of the same planted near-duplicates)."""
+    from codegraph.textops import embedding_cosine_dedup, jaccard_pairs
+
+    emb = {(r["id_a"], r["id_b"])
+           for r in embedding_cosine_dedup(docs, dim=256, threshold=0.95).collect()}
+    jac = {(r["id_a"], r["id_b"])
+           for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert emb == jac
