@@ -68,6 +68,59 @@ def start_ingest(spark: SparkSession, drop_dir: str, out_dir: str,
     return writer.start()
 
 
+def start_streaming_dedup(spark: SparkSession, drop_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          trigger_available_now: bool = True):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    streaming exact-dedup over a document stream.
+
+    Documents land as parquet (doc_id, text) in ``drop_dir``; the stream
+    groups by content sha and keeps per-sha state = occurrences seen so far.
+    A sha is EMITTED exactly once — on first sight — so the sink accumulates
+    the deduplicated corpus incrementally; duplicates arriving in later
+    micro-batches (or after a restart: state lives in the checkpoint) only
+    bump the state counter. This is the streaming analog of
+    ``textops.exact_dedup`` and the shape of a 100 TB ingest front-door:
+    state is hash-partitioned by sha, so it shards across executors and
+    never concentrates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    doc_schema = "doc_id long, text string"
+    stream = (spark.readStream.schema(doc_schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(drop_dir))
+    hashed = stream.select(F.sha2("text", 256).alias("text_sha"), "doc_id")
+
+    def dedup_fn(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        first_id = None
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                if seen == 0 and first_id is None:
+                    first_id = int(doc_id)
+                seen += 1
+        state.update((seen,))
+        if first_id is not None:
+            yield pd.DataFrame({"text_sha": [key[0]], "doc_id": [first_id]})
+
+    out = hashed.groupBy("text_sha").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="text_sha string, doc_id long",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+    writer = (out.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact(spark: SparkSession, out_dir: str):
     """MERGE-compact the delta stream into current tables: last-write-wins
     per (repo, key) by the highest batch_id (UpsertSymbols semantics over

@@ -40,3 +40,41 @@ def test_stream_ingest_two_batches(spark, tmp_path):
     # edges dangling-drop still holds per batch universe
     sym_keys = s2.select("repo", F.col("key").alias("src_key"))
     assert e2.join(sym_keys, ["repo", "src_key"], "left_anti").count() == 0
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: a sha is emitted once on first
+    sight; duplicates in later micro-batches only bump the checkpointed
+    state, and a RESTARTED stream recovers the seen-set from the
+    checkpoint (no re-emission)."""
+    import pandas as pd
+
+    from codegraph.streaming import start_streaming_dedup
+
+    drop = tmp_path / "drop"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    drop.mkdir()
+
+    def land(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            drop / f"{name}.parquet", index=False)
+
+    # batch 1: three unique docs; batch 2 file: one dup of doc 0 + one new
+    land("b1", [(0, "alpha"), (1, "beta"), (2, "gamma")])
+    land("b2", [(10, "alpha"), (3, "delta")])
+    q = start_streaming_dedup(spark, str(drop), str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"]) for r in spark.read.parquet(str(out)).collect()}
+    # 'alpha' emitted once — for whichever occurrence was seen first
+    assert len(got) == 4
+    assert {1, 2, 3} <= got and (0 in got) != (10 in got)
+
+    # restart with a new drop file: old shas suppressed via recovered state
+    land("b3", [(20, "beta"), (4, "epsilon")])
+    q2 = start_streaming_dedup(spark, str(drop), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert 4 in got2 and 20 not in got2
+    assert len(got2) == 5
