@@ -21,6 +21,25 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
    mentions (``implicit operator int``) search BOTH the operand and target
    types, the two places C# allows the declaration.
 
+   Ambiguity is an error, not a guess (Roslyn analogs):
+   * a name reachable ONLY through >=2 distinct ``global using`` namespaces
+     is CS0104-ambiguous -> the mention drops (no edge);
+   * an invocation whose argument tokens are partially unclassified ('?')
+     tying >=2 same-arity overloads has no principled winner -> drops
+     (Roslyn would bind by conversion rules the lexer cannot see).
+   Generic method declarations (``Echo<T>(T)``) are looked up by their bare
+   name (Roslyn infers type arguments at the call site) and matched by
+   arity.
+
+   Shuffle width: every mention is first condensed to a 64-bit
+   ``mid = xxhash64(identity columns)``. Candidate explosion, the
+   dictionary joins, and the ranked min_by groupBys all move ONLY
+   (repo, mid, tok, prio)-shaped rows; the wide identity columns
+   (``m_usings``/``m_args``/``path``) never ride a shuffle. Output columns
+   are recovered by a final narrow join against a per-mid dim. mids are
+   scoped per repo (graph universes are per-repo), so a 64-bit collision
+   needs ~2^32 mentions in ONE repo before the birthday bound bites.
+
 2. **Dangling-edge drop (J1/F9)** — candidate edges survive only when BOTH
    endpoint keys exist as Symbol nodes in the same repo universe
    (MergeRelationships.cypher:1-5). This silently drops: all file-keyed
@@ -32,9 +51,17 @@ so every join key includes ``repo``.
 
 Skew: hot in-repo names (a 'Util' class referenced by most files) concentrate
 dictionary keys. ``salt > 0`` replicates the dictionary side S times and
-routes each mention by a deterministic hash of its file path, bounding the
-largest join partition (explicit skew salting per north_rule); AQE skew-join
-splitting covers residual imbalance at runtime.
+routes each mention by its compact id, bounding the largest join partition
+(explicit skew salting per north_rule); AQE skew-join splitting covers
+residual imbalance at runtime.
+
+Join strategy: the dictionary joins and the J1 endpoint semi-joins carry
+explicit ``shuffle_hash`` hints — equi-joins on short keys where hashing the
+(smaller) dictionary side beats sorting both sides. A hint is plan-time
+advice: if the build side's size estimate is too large Spark ignores it, and
+a misestimated build side can still OOM at runtime (there is no runtime
+fallback to sort-merge), which is why the hint sits on the bounded
+dictionary/key side, not the mention side.
 """
 
 from __future__ import annotations
@@ -82,7 +109,10 @@ def build_dictionaries(symbols: DataFrame):
     )
     # head = "Ns.Type.name"; lookup_name = last dot segment (also 'operator +'
     # and 'implicit operator int' — conversion return tokens are non-dotted in
-    # the subset); '.ctor' symbols get a '<ctor>' sentinel
+    # the subset); '.ctor' symbols get a '<ctor>' sentinel. Generic methods
+    # display as 'Echo<T>' (SymbolMapper.cs:43-47) but are INVOKED by bare
+    # name (Roslyn infers the type arguments), so the lookup key strips the
+    # type-parameter list — guarded to `name<` shapes so 'operator <' stays.
     methods = (
         methods
         .withColumn("simple", F.element_at(F.split(F.col("head"), "\\."), -1))
@@ -92,6 +122,8 @@ def build_dictionaries(symbols: DataFrame):
         )
         .withColumn("lookup_name",
                     F.when(F.col("name") == ".ctor", F.lit("<ctor>"))
+                    .when(F.col("simple").rlike("^\\w+<"),
+                          F.expr("substring_index(simple, '<', 1)"))
                     .otherwise(F.col("simple")))
         .select(F.col("repo").alias("mm_repo"), "type_display",
                 "lookup_name", "nparams", "params",
@@ -103,42 +135,73 @@ def build_dictionaries(symbols: DataFrame):
 _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
                     "m_recv", "m_usings", "m_nargs", "m_args"]
 
+# priority assigned to every global-using candidate namespace: any local
+# candidate (posexplode index < 100000) outranks the global pool, and ties
+# WITHIN the pool are detected as Roslyn CS0104 ambiguity
+_GLOBAL_PRIO = 100000
 
-def _resolve_types(mentions: DataFrame, types: DataFrame, name_col: str,
-                   salt: int = 0, global_ns: DataFrame | None = None,
-                   extra_ids: list[str] | None = None) -> DataFrame:
-    """Resolve ``name_col`` against the ordered candidate-namespace list
+
+def _with_mid(mentions: DataFrame) -> DataFrame:
+    """Condense the full mention identity into one 64-bit column. Nullable
+    columns are coalesced to a \\x00 sentinel so a null can never alias a
+    neighboring value (xxhash64 skips nulls)."""
+    sent = F.lit("\x00")
+    return mentions.withColumn(
+        "mid",
+        F.xxhash64("repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
+                   F.coalesce(F.col("m_recv"), sent),
+                   F.coalesce(F.col("m_usings"), sent),
+                   F.coalesce(F.col("m_nargs").cast("string"), sent),
+                   F.coalesce(F.col("m_args"), sent)))
+
+
+def _resolve_types(cands_base: DataFrame, types: DataFrame,
+                   salt: int = 0,
+                   global_ns: DataFrame | None = None) -> DataFrame:
+    """Resolve ``resolve_tok`` against the ordered candidate-namespace list
     (file namespace, local usings, then the repo's global usings). Keeps the
     first (lowest-priority-index) namespace that declares the name via a
     min_by aggregation (one shuffle with map-side partial agg — cheaper than
-    a sort window); unresolved mentions drop (Roslyn error type => no edge).
-    Adds columns t_key / t_display."""
-    ids = _MENTION_ID_COLS + (extra_ids or [])
-    cands = mentions.select(
-        "*", F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
+    a sort window); unresolved mentions drop (Roslyn error type => no edge),
+    and mentions reachable ONLY through >=2 competing global usings drop too
+    (CS0104 ambiguity => error type => no edge).
+
+    Input: (repo, mid, resolve_tok, m_usings); the posexplode projects the
+    wide m_usings away BEFORE the dictionary join, so the shuffle moves only
+    (repo, mid, resolve_tok, prio, cand_ns). Output: (repo, mid,
+    resolve_tok, t_key, t_display)."""
+    ids = ["repo", "mid", "resolve_tok"]
+    cands = cands_base.select(
+        *ids, F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
     )
     if global_ns is not None:
         # repo-wide global usings: lowest priority, broadcast (small dim)
-        gu = mentions.join(
-            F.broadcast(global_ns), on=[F.col("repo") == F.col("g_repo")]) \
-            .withColumn("prio", (F.lit(100000)
-                                 + F.pmod(F.crc32(F.col("cand_ns")), F.lit(1000)))
-                        .cast("int")) \
-            .drop("g_repo")
+        gu = (cands_base.select(*ids)
+              .join(F.broadcast(global_ns), on=[F.col("repo") == F.col("g_repo")])
+              .withColumn("prio", F.lit(_GLOBAL_PRIO))
+              .drop("g_repo"))
         cands = cands.unionByName(gu.select(*cands.columns))
     t = types
     join_cond = [F.col("repo") == F.col("t_repo"), F.col("cand_ns") == F.col("ns"),
-                 F.col(name_col) == F.col("name")]
+                 F.col("resolve_tok") == F.col("name")]
     if salt > 0:
         t = t.withColumn("d_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         cands = cands.withColumn("m_salt",
-                                 F.pmod(F.xxhash64("path"), F.lit(salt)).cast("int"))
+                                 F.pmod(F.col("mid"), F.lit(salt)).cast("int"))
         join_cond.append(F.col("m_salt") == F.col("d_salt"))
-    joined = cands.join(t, on=join_cond, how="inner") \
+    joined = cands.join(t.hint("shuffle_hash"), on=join_cond, how="inner") \
         .drop("t_repo", "ns", "name")
-    return (
+    g = (
         joined.groupBy(*ids)
-        .agg(F.expr("min_by(struct(type_key, type_display), prio)").alias("_r"))
+        .agg(F.min("prio").alias("_p0"),
+             F.expr("min_by(struct(type_key, type_display), "
+                    "struct(prio, type_key))").alias("_r"),
+             F.count_distinct(
+                 F.when(F.col("prio") >= _GLOBAL_PRIO, F.col("type_key")))
+             .alias("_nglob"))
+    )
+    return (
+        g.filter((F.col("_p0") < _GLOBAL_PRIO) | (F.col("_nglob") <= 1))
         .select(*ids,
                 F.col("_r.type_key").alias("t_key"),
                 F.col("_r.type_display").alias("t_display"))
@@ -154,10 +217,11 @@ def _as_edge(df: DataFrame, dst_col: str) -> DataFrame:
 def resolve_mentions(records: DataFrame, symbols: DataFrame,
                      salt: int = 0) -> DataFrame:
     """mention records -> resolved candidate edges (repo, src_key, rel_type,
-    dst_key). Duplicate mentions are collapsed first — MERGE semantics make
-    edge multiplicity irrelevant (§1.4.4).
+    dst_key). Duplicate mentions collapse inside the ranked groupBys — MERGE
+    semantics make edge multiplicity irrelevant (§1.4.4).
 
-    Shuffle budget (the whole resolution is TWO ranked lookups):
+    Shuffle budget (the whole resolution is TWO ranked lookups over COMPACT
+    64-bit mention ids):
     1. ONE type-resolution pass — every mention kind that names a type
        explodes its candidate token(s) (conversions try operand AND target,
        the two places C# allows the declaration) x candidate namespaces,
@@ -167,13 +231,22 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
        dictionary once, and rank: declared-param-token equality (0), arity
        or no-arg-list (1), else drop — the Roslyn overload-resolution-failure
        analog. Cast syntax prefers explicit over implicit via lookup order.
+       Unknown-arg ('?') rank ties among same-arity overloads drop
+       (ambiguity => no edge).
+    Output columns (m_from_key, m_rel) are recovered afterwards by one
+    narrow join per pass against the deduped per-mid dim, so neither ranked
+    shuffle ever carries the wide identity columns.
     """
     types, members, nss = build_dictionaries(symbols)
-    # NO up-front distinct: the mention set is read 3x (global pool, type
-    # pass, member pass) and a distinct would shuffle the full width each
-    # time; the ranked min_by groupBys and the final edge distinct already
-    # collapse duplicates
-    mentions = records.filter(F.col("rec") == "mention").select(*_MENTION_ID_COLS)
+    mentions = _with_mid(
+        records.filter(F.col("rec") == "mention").select(*_MENTION_ID_COLS))
+
+    # narrow per-mid dim: ONLY the columns downstream passes need — the wide
+    # m_usings / path columns are excluded, so this dedup shuffle and the
+    # recovery joins stay compact
+    dim = (mentions.select("repo", "mid", "m_kind", "m_from_key", "m_rel",
+                           "m_name", "m_recv", "m_nargs", "m_args")
+           .dropDuplicates(["repo", "mid"]))
 
     # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
     global_ns = (mentions.filter(F.col("m_kind") == "global_using")
@@ -191,24 +264,27 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     needs_type = (
         mentions.filter(kind.isin("type", "ctor", "invoke_via", "invoke_static",
                                   "op", "conv_impl", "conv_expl"))
-        .select("*", F.explode(toks).alias("resolve_tok"))
+        .select("repo", "mid", "m_usings", F.explode(toks).alias("resolve_tok"))
         .filter(F.col("resolve_tok").isNotNull() & (F.col("resolve_tok") != "")
                 & ~F.array_contains(kw, F.col("resolve_tok"))
                 & ~F.col("resolve_tok").startswith("System.")))
-    resolved_t = _resolve_types(needs_type, types, "resolve_tok", salt, global_ns,
-                                extra_ids=["resolve_tok"])
+    resolved_t = _resolve_types(needs_type, types, salt, global_ns)
+    # recover the narrow output/ranking columns once per resolved mention
+    resolved_full = resolved_t.join(dim, ["repo", "mid"])
 
-    type_edges = _as_edge(resolved_t.filter(kind == "type"), "t_key")
+    type_edges = _as_edge(resolved_full.filter(kind == "type"), "t_key")
 
     # --- pass 2: member lookup ----------------------------------------------
     # own-type invocations (incl. method groups) skip type resolution: m_recv
     # already holds the containing type display
-    own = (mentions.filter(kind == "invoke")
+    mem_cols = ["repo", "mid", "m_kind", "m_name", "m_nargs", "m_args",
+                "t_display"]
+    own = (dim.filter(kind == "invoke")
            .withColumn("t_display", F.col("m_recv"))
-           .withColumn("resolve_tok", F.lit(None).cast("string")))
-    member_mentions = resolved_t.filter(
+           .select(*mem_cols))
+    member_mentions = resolved_full.filter(
         kind.isin("ctor", "invoke_via", "invoke_static", "op",
-                  "conv_impl", "conv_expl")).drop("t_key") \
+                  "conv_impl", "conv_expl")).select(*mem_cols) \
         .unionByName(own)
     impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
     expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
@@ -216,33 +292,53 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                .when(kind == "conv_impl", F.array(impl_name))
                .when(kind == "conv_expl", F.array(expl_name, impl_name))
                .otherwise(F.array("m_name")))
+    norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
+        .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
     cand = member_mentions.select(
-        "*", F.posexplode(lookups).alias("lrank", "lookup"))
+        "repo", "mid", "m_nargs", norm_args.alias("norm_args"), "t_display",
+        F.posexplode(lookups).alias("lrank", "lookup"))
     joined = cand.join(
-        members,
+        members.hint("shuffle_hash"),
         on=[F.col("repo") == F.col("mm_repo"),
             F.col("t_display") == F.col("type_display"),
             F.col("lookup") == F.col("lookup_name")],
         how="inner")
-    norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
-        .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
     rank = (
-        F.when(norm_args.isNotNull() & ~norm_args.contains("?")
-               & (F.col("params") == norm_args), F.lit(0))
+        F.when(F.col("norm_args").isNotNull() & ~F.col("norm_args").contains("?")
+               & (F.col("params") == F.col("norm_args")), F.lit(0))
         .when(F.col("m_nargs").isNull(), F.lit(1))
         .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
         .otherwise(F.lit(99)))
     joined = joined.withColumn("_rank", rank * 10 + F.col("lrank")) \
         .filter(F.col("_rank") < 990)
+    ranked = (
+        joined.groupBy("repo", "mid")
+        .agg(F.min("_rank").alias("_r0"),
+             F.expr("min_by(member_key, struct(_rank, member_key))")
+             .alias("member_key"),
+             # largest member_key AT the minimal rank: differs from
+             # member_key iff the winning rank is tied between >=2 members
+             F.expr("max_by(member_key, struct(-_rank, member_key))")
+             .alias("_maxk"),
+             F.max(F.coalesce(F.col("norm_args").contains("?"), F.lit(False)))
+             .alias("_unk"))
+    )
+    # arity-rank (rank 1 -> _rank 10..19) ties with unclassified args have no
+    # principled winner: Roslyn would bind via conversions the lexer cannot
+    # see, or report ambiguity — either way, guessing is wrong => no edge.
+    # Method groups (m_args null) keep the deterministic min-key pick.
+    ambiguous = (F.col("_unk") & (F.col("_r0") >= 10) & (F.col("_r0") < 20)
+                 & (F.col("member_key") != F.col("_maxk")))
     member_edges = _as_edge(
-        joined.groupBy(*_MENTION_ID_COLS)
-        .agg(F.expr("min_by(member_key, struct(_rank, member_key))")
-             .alias("member_key")),
+        ranked.filter(~ambiguous)
+        .select("repo", "mid", "member_key")
+        .join(dim.select("repo", "mid", "m_from_key", "m_rel"),
+              ["repo", "mid"]),
         "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
     #     namespaces are same-assembly => no edge (RoslynSymbolProcessor.cs:47-65)
-    um = mentions.filter(kind == "using")
+    um = dim.filter(kind == "using")
     ext_using = (
         um.join(nss, on=[um.repo == nss.n_repo, um.m_name == nss.ns], how="left_anti")
         .select("repo", F.col("m_from_key").alias("src_key"),
@@ -260,8 +356,10 @@ def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:
     sk = symbols.select("repo", F.col("key").alias("_k")).distinct()
     return (
         candidate_edges
-        .join(sk.withColumnRenamed("_k", "src_key"), ["repo", "src_key"], "left_semi")
-        .join(sk.withColumnRenamed("_k", "dst_key"), ["repo", "dst_key"], "left_semi")
+        .join(sk.withColumnRenamed("_k", "src_key").hint("shuffle_hash"),
+              ["repo", "src_key"], "left_semi")
+        .join(sk.withColumnRenamed("_k", "dst_key").hint("shuffle_hash"),
+              ["repo", "dst_key"], "left_semi")
         .select("repo", "src_key", "rel_type", "dst_key")
         .distinct()
     )

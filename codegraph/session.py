@@ -42,8 +42,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the linking joins are equi-joins on short keys: shuffled-hash beats
         # sort-merge (no sort of either side; ~12% full-pipeline gain
-        # measured at the 48M-triple corpus); Spark still falls back to SMJ
-        # when a local hash map cannot fit
+        # measured at the 48M-triple corpus). NOTE the guard against an
+        # oversized build side is PLAN-TIME only (size-estimate heuristic):
+        # a build side that exceeds memory at runtime OOMs the task — there
+        # is no runtime fallback to SMJ. The linking joins additionally carry
+        # explicit shuffle_hash hints on their bounded dictionary sides
+        # (link.py), so flipping this back to true at 100 TB (where a
+        # misestimated self-join build side is plausible) keeps them on SHJ.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():

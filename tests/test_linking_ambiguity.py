@@ -1,0 +1,113 @@
+"""Ambiguity semantics in entity linking (Roslyn error analogs):
+
+* a name reachable ONLY via >=2 competing ``global using`` namespaces is
+  CS0104-ambiguous -> the mention drops (no edge), while a single global
+  using resolves (RoslynSymbolProcessor.cs:68-99 feeds the compilation's
+  lookup; Roslyn reports the ambiguity as an error type);
+* an invocation with unclassified ('?') argument tokens tying >=2 same-arity
+  overloads drops (MemberDependencyExtractor.cs:241 — error symbol => no
+  edge) instead of guessing lexicographically.
+"""
+
+from pyspark.sql import functions as F
+
+from codegraph import pipeline
+
+
+def _src(spark, files):
+    rows = [("r1", path, "c" * 40, "csharp", content) for path, content in files]
+    return spark.createDataFrame(rows, "repo string, path string, "
+                                       "commit string, lang string, content string")
+
+
+def _edges(spark, files):
+    res = pipeline.run_pipeline(spark, _src(spark, files), persist=False)
+    return {(r["src_key"], r["rel_type"], r["dst_key"])
+            for r in res["linked"].collect()}
+
+
+DUP_A = """namespace LibA;
+
+public class Dup
+{
+    public int Count { get; set; }
+}
+"""
+DUP_B = DUP_A.replace("LibA", "LibB")
+
+USER = """namespace App;
+
+public class User
+{
+    private readonly Dup _dep;
+    public void Run()
+    {
+    }
+}
+"""
+
+
+def test_competing_global_usings_drop_the_mention(spark):
+    edges = _edges(spark, [
+        ("src/LibA/Dup.cs", DUP_A),
+        ("src/LibB/Dup.cs", DUP_B),
+        ("src/GlobalA.cs", "global using LibA;\n"),
+        ("src/GlobalB.cs", "global using LibB;\n"),
+        ("src/App/User.cs", USER),
+    ])
+    # CS0104: Dup is ambiguous between LibA.Dup and LibB.Dup -> no edge
+    assert not any(d in ("r1:LibA.Dup", "r1:LibB.Dup")
+                   for _s, _r, d in edges)
+
+
+def test_single_global_using_resolves(spark):
+    edges = _edges(spark, [
+        ("src/LibA/Dup.cs", DUP_A),
+        ("src/GlobalA.cs", "global using LibA;\n"),
+        ("src/App/User.cs", USER),
+    ])
+    assert ("r1:App.User", "src__DEPENDS_ON", "r1:LibA.Dup") in edges
+
+
+def test_local_using_outranks_competing_globals(spark):
+    # an explicit `using LibB;` resolves Dup unambiguously even though the
+    # global pool is still ambiguous (local scope wins before globals)
+    edges = _edges(spark, [
+        ("src/LibA/Dup.cs", DUP_A),
+        ("src/LibB/Dup.cs", DUP_B),
+        ("src/GlobalA.cs", "global using LibA;\n"),
+        ("src/GlobalB.cs", "global using LibB;\n"),
+        ("src/App/User.cs", "using LibB;\n\n" + USER),
+    ])
+    assert ("r1:App.User", "src__DEPENDS_ON", "r1:LibB.Dup") in edges
+    assert ("r1:App.User", "src__DEPENDS_ON", "r1:LibA.Dup") not in edges
+
+
+AMBIG = """namespace App;
+
+public class Picker
+{
+    public int Count { get; set; }
+    public void Pick(int a)
+    {
+    }
+    public void Pick(string b)
+    {
+    }
+    public void UsePick()
+    {
+        Pick(Count);
+        Pick(7);
+    }
+}
+"""
+
+
+def test_unknown_arg_overload_tie_drops(spark):
+    edges = _edges(spark, [("src/App/Picker.cs", AMBIG)])
+    invokes = {d for s, r, d in edges
+               if r == "src__INVOKES" and s == "r1:App.Picker.UsePick()"}
+    # Pick(Count): the lexer cannot classify a property access -> '?' ties
+    # Pick(int) and Pick(string) at arity rank -> ambiguity -> only the
+    # literal call Pick(7) resolves (param-token rank 0)
+    assert invokes == {"r1:App.Picker.Pick(int)"}
