@@ -34,6 +34,12 @@ for _sf in ("sf0.001", "sf0.01"):
         gen.ensure_fixture_local(_sf)
     except Exception:
         pass
+try:
+    from codegraph.simsearch import ensure_planes_fixture as _epf
+
+    _epf()  # the ANN oracle reads the same hyperplane coefficients
+except Exception:
+    pass
 
 FIX01 = os.path.join(gen.FIXTURE_ROOT, "sf0.01")
 SRC01 = f"read_parquet('{FIX01}/source_files.parquet')"
@@ -496,10 +502,18 @@ def _q_emb_cosine_topk(spark, sf_dir):
                     "vec_id", "cosine")
 
 
-def _q_emb_ann_lsh(spark, sf_dir):
-    from codegraph.simsearch import ann_lsh_topk
+_EMB_N_CACHE: dict[str, int] = {}
 
-    t = ann_lsh_topk(_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+def _q_emb_ann_lsh(spark, sf_dir):
+    from codegraph.simsearch import ann_lsh_topk, ensure_planes_fixture
+
+    ensure_planes_fixture()
+    emb = _table(spark, sf_dir, "embeddings")
+    if sf_dir not in _EMB_N_CACHE:
+        # parquet footer row count; cached so repeat invocations pay nothing
+        _EMB_N_CACHE[sf_dir] = emb.count()
+    t = ann_lsh_topk(emb, n_queries=10, k=5, n_hint=_EMB_N_CACHE[sf_dir])
     return t.select("query_id", F.col("rank").cast("bigint").alias("rank"),
                     "vec_id", "cosine")
 

@@ -8,10 +8,16 @@ MemberDependencyExtractor + SymbolMapper
 * one file-scoped (or block) namespace per file; nested types one level deep
   (DescendantNodes visits them as their own BaseTypeDeclarationSyntax AND as
   a member of the outer type -> CONTAINS outer->nested,
-  RoslynSymbolProcessor.cs:103-113,288); generic type declarations display
-  their type parameters (``Ns.Box<T>``, SymbolMapper.cs:43-47);
-  multi-declarator field/event lines expand to one symbol per declarator
-  (RoslynSymbolProcessor.cs:216-262).
+  RoslynSymbolProcessor.cs:103-113,288); generic type AND method
+  declarations display their type parameters (``Ns.Box<T>``,
+  ``Ns.Type.Echo<T>(T)``, SymbolMapper.cs:43-47); multi-declarator
+  field/event lines expand to one symbol per declarator
+  (RoslynSymbolProcessor.cs:216-262); ``partial class`` parts in different
+  files share one symbol key (Roslyn merges the declarations into one
+  INamedTypeSymbol), so members from every part CONTAINS-attach to the same
+  type and cross-part member calls resolve through the member dictionary;
+  expression-bodied properties (``int Total => Count;``) are Property
+  symbols.
 * symbol keys: ``{repoKey}:{display}`` where display mirrors
   SymbolDisplayFormat.CSharpErrorMessageFormat for the subset —
   types ``Ns.Type``, members ``Ns.Type.Name``, methods/ctors
@@ -96,7 +102,13 @@ _RE_PROPERTY = re.compile(
 _RE_FIELD = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
     r"(?:static\s+|readonly\s+|const\s+)*"
-    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*(?:=[^;]*)?;"
+    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*(?:=(?!>)[^;]*)?;"
+)
+# expression-bodied property: `public int Total => Count;` is an
+# IPropertySymbol (get-only), not a field (RoslynSymbolProcessor kinds)
+_RE_EXPR_PROP = re.compile(
+    r"^\s*(?P<acc>public|internal|private|protected)?\s*(?:static\s+)?"
+    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*=>\s*[^;]*;"
 )
 _RE_OPERATOR = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*static\s+"
@@ -111,7 +123,8 @@ _RE_CONVERSION = re.compile(
 _RE_METHOD = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
     r"(?:static\s+|virtual\s+|override\s+|async\s+)*"
-    r"(?:(?P<ret>[\w.<>\[\]?]+)\s+)?(?P<name>[\w.]+)\s*\((?P<params>[^)]*)\)\s*(?:\{|=>|;|$)"
+    r"(?:(?P<ret>[\w.<>\[\]?]+)\s+)?(?P<name>[\w.]+)(?P<targs><[\w, ]+>)?"
+    r"\s*\((?P<params>[^)]*)\)\s*(?:\{|=>|;|$)"
 )
 _RE_ENUM_MEMBER = re.compile(r"^\s*(?P<name>\w+)\s*(?:=\s*\d+\s*)?,?\s*$")
 _RE_DOC = re.compile(r"^\s*///\s?(.*)$")
@@ -346,6 +359,19 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
+            mxp = _RE_EXPR_PROP.match(raw)
+            if mxp and mxp.group("type") not in _MODIFIER_WORDS:
+                doc, com = flush_trivia()
+                cur.members.append({
+                    "mkind": "Property", "name": mxp.group("name"),
+                    "type": mxp.group("type"),
+                    "acc": _acc_name(mxp.group("acc"),
+                                     "Public" if cur.is_interface else "Private"),
+                    "start": lineno, "end": lineno, "doc": doc, "com": com,
+                })
+                i += 1
+                continue
+
             mconv = _RE_CONVERSION.match(raw)
             mop = _RE_OPERATOR.match(raw) if not mconv else None
             if mconv or mop:
@@ -385,6 +411,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 default_acc = "Public" if cur.is_interface else "Private"
                 member = {
                     "mkind": "Method", "name": name, "is_ctor": is_ctor,
+                    "targs": mm.group("targs"),  # generic method <T, ...>
                     "params": _parse_params(mm.group("params")),
                     "ret": None if is_ctor else (mm.group("ret") or "void"),
                     "acc": _acc_name(mm.group("acc"), default_acc),
@@ -497,9 +524,12 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             if mk in ("Method", "Operator", "Conversion"):
                 ptoks = [p[0] for p in mrec["params"]]
                 if mk == "Method":
-                    name = mrec["name"]
+                    # generic methods display their type parameters
+                    # (SymbolMapper.cs:43-47: 'Echo<T>(T)'); IMethodSymbol.Name
+                    # stays the bare name
+                    name = mrec["name"] + (mrec.get("targs") or "")
                     display = f"{t.display}.{name}({', '.join(ptoks)})"
-                    sym_name = ".ctor" if mrec["is_ctor"] else name
+                    sym_name = ".ctor" if mrec["is_ctor"] else mrec["name"]
                 elif mk == "Operator":
                     op = mrec["op"]
                     display = f"{t.display}.operator {op}({', '.join(ptoks)})"

@@ -19,9 +19,13 @@ This allows distributed generation (one task per repo) with bit-identical
 output at any parallelism.
 
 The C# content is restricted to a documented subset (single file-scoped
-namespace, no overloads, one ctor max per type, member shapes from a fixed
-menu) so that the regex lexer in ``extract/csharp.py`` and the DuckDB SQL
-oracles resolve it exactly like Roslyn would.
+namespace, one ctor max per type, member shapes from a fixed menu — now
+including arity AND same-arity overload pairs, user-defined operators and
+conversions, nested types, multi-declarator fields, generic methods,
+expression-bodied properties, cross-file ``partial class`` pairs, and an
+unclassifiable-argument overload call that must resolve to NO edge) so that
+the regex lexer in ``extract/csharp.py`` and the DuckDB SQL oracles resolve
+it exactly like Roslyn would.
 """
 
 from __future__ import annotations
@@ -147,6 +151,15 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # constructed-generic field (DEPENDS_ON Box<int> dangles like
             # the reference: the declared symbol key is Box<T>)
             "has_box": rng.random() < 0.30,
+            # generic method declaration + inferred-type-arg call site
+            # (display Echo<T>(T), SymbolMapper.cs:43-47)
+            "has_generic": rng.random() < 0.30,
+            # expression-bodied property (IPropertySymbol, get-only)
+            "has_exprop": rng.random() < 0.35,
+            # same-arity overload pair called with an argument the lexer
+            # cannot classify -> ambiguity -> NO edge (plus a literal call
+            # that does resolve)
+            "has_ambig": rng.random() < 0.30,
             # "System" always present: EventHandler / Console need it to
             # resolve, keeping the subset compile-clean under Roslyn rules
             "ext_usings": ["System"] + rng.sample(EXTERNAL_USINGS[1:], k=rng.randint(0, 2)),
@@ -194,6 +207,13 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
         "kind": "csharp_globalusings", "lang": "csharp",
         "path": f"src/{app_ns}/GlobalUsings.cs", "ns": global_ns,
     })
+    # cross-file partial class: two parts share ONE type symbol key; part 2
+    # calls a method declared in part 1 (Roslyn merges the declarations)
+    pmod = box_ns.split(".")[-1]
+    files.append({"kind": "csharp_partial1", "lang": "csharp",
+                  "path": f"src/{app_ns}/{pmod}/Blended.Part1.cs", "ns": box_ns})
+    files.append({"kind": "csharp_partial2", "lang": "csharp",
+                  "path": f"src/{app_ns}/{pmod}/Blended.Part2.cs", "ns": box_ns})
 
     npm = rng.sample(NPM_PKGS, k=rng.randint(2, 4))
     nuget = rng.sample(NUGET_PKGS, k=rng.randint(2, 3))
@@ -383,6 +403,35 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append("        Action go = Run;")
         lines.append("        go();")
+        lines.append("    }")
+    if c.get("has_generic"):
+        # generic method (display Echo<T>(T)); the call site infers T=int and
+        # binds by arity after the bare-name lookup
+        lines.append("    public T Echo<T>(T item)")
+        lines.append("    {")
+        lines.append("        return item;")
+        lines.append("    }")
+        lines.append("    public void UseEcho()")
+        lines.append("    {")
+        lines.append("        Echo(5);")
+        lines.append("    }")
+    if c.get("has_exprop"):
+        # expression-bodied property -> Property symbol, not a field
+        lines.append("    public int Total => Count;")
+    if c.get("has_ambig"):
+        # same-arity overloads: Pick(Count) passes a property access the
+        # lexer cannot classify ('?') -> ambiguity -> NO edge; Pick(7)
+        # resolves to Pick(int) by literal token
+        lines.append("    public void Pick(int a)")
+        lines.append("    {")
+        lines.append("    }")
+        lines.append("    public void Pick(string b)")
+        lines.append("    {")
+        lines.append("    }")
+        lines.append("    public void UsePick()")
+        lines.append("    {")
+        lines.append("        Pick(Count);")
+        lines.append("        Pick(7);")
         lines.append("    }")
     if c.get("has_ops"):
         # operator / conversion DECLARATIONS (MemberDependencyExtractor
@@ -620,6 +669,35 @@ def _render_csharp_globalusings(spec: dict) -> str:
     return f"global using {spec['ns']};\n"
 
 
+def _render_csharp_partial1(spec: dict) -> str:
+    return f"""namespace {spec["ns"]};
+
+public partial class Blended
+{{
+    public int Left {{ get; set; }}
+    public void Warm()
+    {{
+    }}
+}}
+"""
+
+
+def _render_csharp_partial2(spec: dict) -> str:
+    # Warm() is declared in part 1: the call resolves through the merged
+    # type's member dictionary (cross-file partial merge)
+    return f"""namespace {spec["ns"]};
+
+public partial class Blended
+{{
+    public int Right {{ get; set; }}
+    public void Cool()
+    {{
+        Warm();
+    }}
+}}
+"""
+
+
 def _render_decoy(spec: dict) -> str:
     return "// excluded decoy\n" if spec["kind"] != "decoy_txt" else "plain text\n"
 
@@ -628,6 +706,8 @@ _RENDERERS = {
     "csharp": _render_csharp,
     "csharp_box": _render_csharp_box,
     "csharp_globalusings": _render_csharp_globalusings,
+    "csharp_partial1": _render_csharp_partial1,
+    "csharp_partial2": _render_csharp_partial2,
     "csproj": _render_csproj,
     "packagejson": _render_packagejson,
     "pubspec": _render_pubspec,

@@ -44,7 +44,9 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
 
 
 def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded, no RNG state)."""
+    """Deterministic pseudo-random hyperplanes (seeded, no RNG state). Each
+    coefficient is a pure function of (table, plane, dim) so any prefix of
+    planes is stable regardless of how many planes a run asks for."""
     import math
 
     planes = []
@@ -57,9 +59,49 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     return planes
 
 
+MAX_PLANES = 24
+PLANES_FIXTURE = "/root/repo/fixtures/ann_planes.parquet"
+
+
+def ensure_planes_fixture(path: str = PLANES_FIXTURE, n_tables: int = 8,
+                          dim: int = 64) -> str:
+    """Materialize the hyperplane coefficients (tbl, p, d, w) once so the
+    DuckDB oracle can rebuild the EXACT same signatures: both engines then
+    multiply identical float64 coefficients in identical order, making the
+    bucket bits bit-reproducible cross-engine."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, MAX_PLANES, t)
+        for p, row in enumerate(planes):
+            for d, w in enumerate(row):
+                rows.append({"tbl": t, "p": p, "d": d, "w": w})
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows),
+                                        preserve_index=False), path)
+    return path
+
+
+def n_planes_for(n: int, target_bucket: int = 64) -> int:
+    """Scale-aware plane count: expected bucket population stays
+    ~target_bucket regardless of corpus size N."""
+    import math
+
+    return max(3, min(MAX_PLANES,
+                      math.ceil(math.log2(max(2.0, n / target_bucket)))))
+
+
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
                  n_planes: int | None = None, n_tables: int = 8, dim: int = 64,
-                 target_bucket: int = 64, multiprobe: int = 1) -> DataFrame:
+                 target_bucket: int = 64, multiprobe: int = 1,
+                 n_hint: int | None = None) -> DataFrame:
     """Random-hyperplane LSH: signature per (table), candidates = same-bucket
     pairs in ANY table, exact cosine rerank on candidates only.
 
@@ -72,10 +114,11 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     probes per table at distance 1 — cheaper than doubling n_tables)."""
     emb = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
     if n_planes is None:
-        import math
-
-        n = embeddings.count()
-        n_planes = max(3, min(24, math.ceil(math.log2(max(2.0, n / target_bucket)))))
+        # n_hint lets callers supply a cached/estimated corpus size (e.g.
+        # parquet row-count metadata or table stats) instead of paying a
+        # full count() scan per invocation
+        n = n_hint if n_hint is not None else embeddings.count()
+        n_planes = n_planes_for(n, target_bucket)
 
     def bucket_expr(table: int):
         planes = _hyperplanes(dim, n_planes, table)

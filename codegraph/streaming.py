@@ -94,16 +94,20 @@ def start_streaming_dedup(spark: SparkSession, drop_dir: str, out_dir: str,
     hashed = stream.select(F.sha2("text", 256).alias("text_sha"), "doc_id")
 
     def dedup_fn(key, pdfs, state):
+        # canonical id = min(doc_id) across the micro-batch's rows for a
+        # first-seen sha: matches the batch twin (textops.exact_dedup) and is
+        # independent of pandas iteration / partition order within the batch
         seen = state.get[0] if state.exists else 0
-        first_id = None
+        emit_first = seen == 0
+        min_id = None
         for pdf in pdfs:
-            for doc_id in pdf["doc_id"]:
-                if seen == 0 and first_id is None:
-                    first_id = int(doc_id)
-                seen += 1
+            if len(pdf):
+                batch_min = int(pdf["doc_id"].min())
+                min_id = batch_min if min_id is None else min(min_id, batch_min)
+                seen += len(pdf)
         state.update((seen,))
-        if first_id is not None:
-            yield pd.DataFrame({"text_sha": [key[0]], "doc_id": [first_id]})
+        if emit_first and min_id is not None:
+            yield pd.DataFrame({"text_sha": [key[0]], "doc_id": [min_id]})
 
     out = hashed.groupBy("text_sha").applyInPandasWithState(
         dedup_fn,

@@ -25,6 +25,20 @@ def test_connected_components_chain(spark):
     assert {r["comp"] for r in comp} == {"n00"}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # pointer doubling: a 256-link chain must converge within O(log n)
+    # rounds; plain hash-min would need 256 and fail this max_iter budget
+    from codegraph.canon import connected_components
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)],
+        "src string, dst string")
+    comp = connected_components(edges, max_iter=12).collect()
+    assert len(comp) == n + 1
+    assert {r["comp"] for r in comp} == {"n000"}
+
+
 def test_unify_symbols_by_fqn(spark):
     from codegraph.canon import unify_symbols_by_fqn
 

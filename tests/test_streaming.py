@@ -67,9 +67,10 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {(r["doc_id"]) for r in spark.read.parquet(str(out)).collect()}
-    # 'alpha' emitted once — for whichever occurrence was seen first
+    # 'alpha' emitted once, canonicalized to the MIN doc_id across the
+    # micro-batch (both files land in one trigger) — the batch-twin rule
     assert len(got) == 4
-    assert {1, 2, 3} <= got and (0 in got) != (10 in got)
+    assert {0, 1, 2, 3} <= got and 10 not in got
 
     # restart with a new drop file: old shas suppressed via recovered state
     land("b3", [(20, "beta"), (4, "epsilon")])
@@ -78,3 +79,24 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     assert 4 in got2 and 20 not in got2
     assert len(got2) == 5
+
+
+def test_stateful_streaming_dedup_emits_min_id(spark, tmp_path):
+    """Ids landing out of order within one micro-batch: the canonical id is
+    min(doc_id) — arrival/partition order must not matter (the batch twin
+    textops.exact_dedup canonicalizes by min)."""
+    import pandas as pd
+
+    from codegraph.streaming import start_streaming_dedup
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    pd.DataFrame([(42, "same"), (7, "same"), (13, "same"), (9, "other")],
+                 columns=["doc_id", "text"]).to_parquet(
+        drop / "b1.parquet", index=False)
+    q = start_streaming_dedup(spark, str(drop), str(tmp_path / "out"),
+                              str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["text_sha"]: r["doc_id"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert sorted(got.values()) == [7, 9]
