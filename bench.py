@@ -139,11 +139,10 @@ def main():
         # job's fixed critical path (~60-90 s of stage scheduling/codegen/
         # python-worker spin-up measured on this VM): 96 repos x 640 files
         # x 16 C# classes/file -> ~50M triples, ~2.4k core-seconds of work.
-        # The 2-core leg is CPU-saturated (measured ~100% busy on its cores)
-        # and therefore stable; the 8-core leg is exposed to the host's
-        # first-touch page-fault ceiling and up-to-4x window variance, so it
-        # runs twice and the best window counts (matched-window methodology,
-        # BENCH/BASELINE.md).
+        # Both legs are exposed to the host's up-to-4x window variance, so
+        # BOTH run twice and the best window counts on BOTH sides — a
+        # symmetric best-of-2 (an asymmetric min on one side would bias the
+        # recorded efficiency; see ADVICE r2 / BENCH/BASELINE.md).
         n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "96"))
         cpf = int(os.environ.get("SPARK_GRAFT_SCALE_CPF", "16"))
         scale_dir = os.path.join(gen.FIXTURE_ROOT, f"scale_bench_{n_repos}x{cpf}")
@@ -162,7 +161,7 @@ def main():
             with open(marker, "w") as f:
                 f.write("ok\n")
         spark.stop()
-        legs = [8, 2, 8]
+        legs = [8, 2, 8, 2]
         if os.environ.get("SPARK_GRAFT_SCALE_FULL") and cpus > 8:
             legs.append(cpus)
         thr = {}

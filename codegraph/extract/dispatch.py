@@ -46,7 +46,8 @@ def handler_for_path(path: str) -> str | None:
 
 
 def _extract_into(em: Emitter, repo: str, path: str, content: str, min_acc: int,
-                  ts_projects: dict, pkg_meta: dict) -> None:
+                  ts_projects: dict, pkg_meta: dict,
+                  ts_resolved: tuple | None = None) -> None:
     handler = handler_for_path(path)
     file_key = path  # fileKey == solution-relative path (FileService.cs:24-55)
     if handler is None:
@@ -79,7 +80,8 @@ def _extract_into(em: Emitter, repo: str, path: str, content: str, min_acc: int,
     elif handler == "pubspec":
         tl.extract_pubspec(em, content, file_key, min_acc)
     elif handler in ("typescript", "javascript"):
-        td.extract_ts(em, content, repo, file_key, min_acc, ts_projects)
+        td.extract_ts(em, content, repo, file_key, min_acc, ts_projects,
+                      resolved=ts_resolved)
     elif handler == "dart":
         td.extract_dart(em, content, repo, file_key, min_acc)
 
@@ -92,52 +94,110 @@ def _extract_one(repo: str, path: str, content: str, min_acc: int,
     return em.rows
 
 
-def extract_records(source_df, min_acc: int, ts_projects: dict, pkg_meta: dict):
+def extract_records(source_df, min_acc: int, ts_projects: dict | None,
+                    pkg_meta: dict):
     """source (repo, path, commit, lang, content) -> unified extraction
     records. ts_projects: {(repo, dir): project_name} from the package.json
     pre-scan (stand-in for FindProjectRoot, TypeScriptHandlerBase.cs:115-129);
     pkg_meta: {(source, pkg): (homepage, repository, project_url)}.
 
     Both dims ride as broadcast variables: unpacked once per executor JVM
-    worker instead of being serialized into every task."""
+    worker instead of being serialized into every task.
+
+    ``ts_projects=None`` selects the large-dim join path: the source must
+    already carry ``ts_project``/``ts_project_dir`` columns (from
+    ``attach_ts_projects``) and the per-row values replace the in-UDF
+    ancestor walk."""
     sc = source_df.sparkSession.sparkContext
-    bc_ts = sc.broadcast(ts_projects)
+    join_mode = ts_projects is None
+    bc_ts = sc.broadcast({} if join_mode else ts_projects)
     bc_pkg = sc.broadcast(pkg_meta)
 
     def run(batches):
         ts, pkg = bc_ts.value, bc_pkg.value
         for pdf in batches:
             em = Emitter()
-            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
-                _extract_into(em, repo, path, content, min_acc, ts, pkg)
+            if join_mode:
+                for repo, path, content, proj, pdir in zip(
+                        pdf["repo"], pdf["path"], pdf["content"],
+                        pdf["ts_project"], pdf["ts_project_dir"]):
+                    resolved = (proj if isinstance(proj, str) else None,
+                                pdir if isinstance(pdir, str) else None)
+                    _extract_into(em, repo, path, content, min_acc, ts, pkg,
+                                  ts_resolved=resolved)
+            else:
+                for repo, path, content in zip(pdf["repo"], pdf["path"],
+                                               pdf["content"]):
+                    _extract_into(em, repo, path, content, min_acc, ts, pkg)
             if em.n:
                 yield em.to_pandas()
 
-    return source_df.select("repo", "path", "content").mapInPandas(
-        run, schema=EXTRACT_SCHEMA)
+    cols = ["repo", "path", "content"]
+    if join_mode:
+        cols += ["ts_project", "ts_project_dir"]
+    return source_df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
-def scan_ts_projects(source_df) -> dict:
-    """Pre-scan: project name per package.json directory. The JSON parse runs
-    executor-side (Catalyst ``get_json_object``); only the (repo, dir, name)
-    triples — a bounded dim, no file contents — reach the driver, to be
-    re-broadcast into the extraction stage."""
+def _ts_project_dim(source_df):
+    """(repo, dir, name) per package.json with a non-null $.name — the same
+    triples the broadcast dict holds, as a DataFrame. JSON parse stays
+    executor-side (Catalyst ``get_json_object``)."""
     from pyspark.sql import functions as F
 
-    rows = (
+    return (
         source_df
         .filter(F.lower(F.element_at(F.split(F.col("path"), "/"), -1)) == "package.json")
-        .select("repo", "path",
+        .select("repo",
+                F.array_join(F.slice(F.split(F.col("path"), "/"), 1,
+                                     F.size(F.split(F.col("path"), "/")) - 1),
+                             "/").alias("dir"),
                 F.get_json_object(F.col("content"), "$.name").alias("name"))
         .filter(F.col("name").isNotNull())
-        .limit(MAX_DIM_ROWS + 1)
-        .collect()
     )
+
+
+def scan_ts_projects(source_df) -> dict | None:
+    """Pre-scan: project name per package.json directory; only the
+    (repo, dir, name) triples — a bounded dim, no file contents — reach the
+    driver, to be re-broadcast into the extraction stage.
+
+    Returns ``None`` when the dim exceeds MAX_DIM_ROWS: callers must then
+    resolve project roots Spark-side via ``attach_ts_projects`` (the
+    path-prefix join) instead of a driver dict."""
+    rows = _ts_project_dim(source_df).limit(MAX_DIM_ROWS + 1).collect()
     if len(rows) > MAX_DIM_ROWS:
-        raise RuntimeError(
-            f"ts-project dim exceeds {MAX_DIM_ROWS} rows; switch the TS "
-            "project-root resolution to the path-prefix join variant")
-    return {(r["repo"], posixpath.dirname(r["path"])): r["name"] for r in rows}
+        return None
+    return {(r["repo"], r["dir"]): r["name"] for r in rows}
+
+
+def attach_ts_projects(source_df):
+    """Large-dim variant of the project-root walk: add ``ts_project`` /
+    ``ts_project_dir`` columns resolving each file's governing package.json
+    entirely Spark-side. Semantics match the in-UDF ancestor walk
+    (TypeScriptHandlerBase.cs:115-129): nearest ancestor directory (longest
+    prefix, "" = repo root) that holds a package.json with a name.
+
+    Shape: explode each path's ancestor-dir prefixes (depth-bounded by the
+    path itself), shuffle-join on (repo, dir) against the package dim, keep
+    the longest match per file with one ``max_by``. No driver collect, no
+    broadcast — both sides partition on the join key, so a >2M-package
+    corpus never concentrates anywhere."""
+    from pyspark.sql import functions as F
+
+    dim = _ts_project_dim(source_df)
+    # ancestors of a/b/c.ts -> ["", "a", "a/b"]; slice(parts,1,0) -> [] -> ""
+    anc = F.expr(
+        "transform(sequence(0, size(split(path,'/'))-1),"
+        " i -> array_join(slice(split(path,'/'), 1, i), '/'))")
+    cand = (source_df.select("repo", "path")
+            .select("repo", "path", F.explode(anc).alias("dir"))
+            .join(dim, ["repo", "dir"], "inner"))
+    resolved = (cand.groupBy("repo", "path")
+                .agg(F.max_by(F.struct(F.col("name").alias("ts_project"),
+                                       F.col("dir").alias("ts_project_dir")),
+                              F.length("dir")).alias("m"))
+                .select("repo", "path", "m.ts_project", "m.ts_project_dir"))
+    return source_df.join(resolved, ["repo", "path"], "left")
 
 
 def collect_pkg_meta(pkg_metadata) -> dict:

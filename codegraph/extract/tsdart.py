@@ -105,7 +105,8 @@ _TS_SKIP_RE = re.compile(
 
 
 def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
-               min_acc: int, ts_projects: dict) -> None:
+               min_acc: int, ts_projects: dict,
+               resolved: tuple | None = None) -> None:
     ns = keys.dir_namespace(em.path)
     em.filemeta(ns or None)
 
@@ -114,18 +115,24 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
     if _TS_SKIP_RE.search(file_key):
         return
 
-    # find governing package.json (TypeScriptHandlerBase.cs:36-41,115-129)
-    project = None
-    project_dir = None
-    d = posixpath.dirname(file_key)
-    while True:
-        if (repo, d) in ts_projects:
-            project = ts_projects[(repo, d)]
-            project_dir = d
-            break
-        if d == "":
-            break
-        d = posixpath.dirname(d)
+    # find governing package.json (TypeScriptHandlerBase.cs:36-41,115-129).
+    # ``resolved`` carries the Spark-side path-prefix-join answer when the
+    # package dim was too big to broadcast (dispatch.attach_ts_projects);
+    # otherwise walk the broadcast dict up the ancestor chain.
+    if resolved is not None:
+        project, project_dir = resolved
+    else:
+        project = None
+        project_dir = None
+        d = posixpath.dirname(file_key)
+        while True:
+            if (repo, d) in ts_projects:
+                project = ts_projects[(repo, d)]
+                project_dir = d
+                break
+            if d == "":
+                break
+            d = posixpath.dirname(d)
     if project is None:
         return  # no package.json ancestor -> analyzer skipped the file
 

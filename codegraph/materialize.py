@@ -139,10 +139,13 @@ def run_checkpointed(spark: SparkSession, run_dir: str, source: DataFrame,
 def _extract_stage(filtered: DataFrame, pkg_metadata: DataFrame | None,
                    min_accessibility: str = "Private", **_kw) -> DataFrame:
     from codegraph.extract import extract_records
-    from codegraph.extract.dispatch import collect_pkg_meta, scan_ts_projects
+    from codegraph.extract.dispatch import (attach_ts_projects,
+                                            collect_pkg_meta,
+                                            scan_ts_projects)
     from codegraph.schema import ACC_ORDER
 
     ts_projects = scan_ts_projects(filtered)
     pkg_meta = collect_pkg_meta(pkg_metadata)
-    return extract_records(filtered, ACC_ORDER[min_accessibility],
+    src = filtered if ts_projects is not None else attach_ts_projects(filtered)
+    return extract_records(src, ACC_ORDER[min_accessibility],
                            ts_projects, pkg_meta)

@@ -19,6 +19,7 @@ all identity is (repo, key).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +27,8 @@ from pyspark.sql import functions as F
 from codegraph import canon, gitmeta, link
 from codegraph import schema as S
 from codegraph.extract import extract_records
-from codegraph.extract.dispatch import collect_pkg_meta, scan_ts_projects
+from codegraph.extract.dispatch import (attach_ts_projects, collect_pkg_meta,
+                                        scan_ts_projects)
 from codegraph.schema import ACC_ORDER
 
 # ---------------------------------------------------------------------------
@@ -104,19 +106,63 @@ def merge_reindex(old_nodes: DataFrame, old_edges: DataFrame,
     return merged_nodes, merged_edges
 
 
+def _estimated_splits(spark, df: DataFrame, target: int) -> int:
+    """Scan-split estimate for the pre-extraction repartition gate. File
+    count >= target short-circuits (ample splits, no sizing needed); below
+    that the (small) file list is sized via the Hadoop FS API and each file
+    contributes ceil(bytes / spark.sql.files.maxPartitionBytes) splits, so
+    few-but-large parquet files with plenty of row-group splits don't
+    trigger a spurious full-input shuffle."""
+    try:
+        inputs = df.inputFiles()
+    except Exception:
+        return target  # non-file source (e.g. in-memory test DF): no gate
+    if len(inputs) >= target:
+        return len(inputs)
+    mpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                      "128MB"))
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    splits = 0
+    try:
+        for uri in inputs:
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-size // mpb))
+    except Exception:
+        return len(inputs)  # sizing unavailable -> old file-count behavior
+    return splits
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string ('128MB', '134217728b', '1g') -> bytes."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(v).lower())
+    if not m:
+        return 128 * 1024 * 1024
+    return int(m.group(1)) * (1024 ** " kmgtp".index(m.group(2) or " "))
+
+
 def purge(spark, graph_dir: str, repo: str) -> None:
     """Scoped purge (J12, PurgeData.cypher:2-100). Graph universes are
     per-repo here, so purging a repo is a partition-filter rewrite of the
     node/edge tables — the Spark shape of the reference's batched
-    label-by-label delete loop. The rewrite IS in place from a consumer's
-    view: the filtered copy lands in a temp dir, then swaps in atomically
-    (rename), so readers of ``<graph_dir>/<table>`` never see the purged
-    repo again. On a Delta/Iceberg catalog this becomes a single
-    ``DELETE WHERE repo = ...``."""
+    label-by-label delete loop. Single-writer semantics: the filtered copy
+    lands in a temp dir, then a two-step rename swaps it in (path -> __old,
+    tmp -> path). A reader racing the instant between the two renames can
+    see the table briefly absent — plain-parquet directories have no
+    transaction log; concurrent readers need the Delta/Iceberg form of this
+    operation (a single ``DELETE WHERE repo = ...``). A crash between the
+    renames strands the data in ``__old``; purge entry recovers it."""
     import shutil
 
     for table in ("nodes", "edges", "files"):
         path = f"{graph_dir}/{table}"
+        old = path + "__old"
+        # crash recovery: a previous purge that died between its two renames
+        # left the live path missing and the data in __old — put it back
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
         try:
             df = spark.read.parquet(path)
         except Exception:
@@ -127,7 +173,6 @@ def purge(spark, graph_dir: str, repo: str) -> None:
         if "bucket" in kept.columns:
             writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
-        old = path + "__old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)
@@ -216,19 +261,22 @@ def run_pipeline(
     if records is None:
         # the extraction stage is CPU-bound per row: make sure it sees at
         # least one split per core. Heuristic on listed input files (cheap,
-        # no RDD conversion): few files => few splits => repartition; at
+        # no RDD conversion); when the file COUNT is below parallelism the
+        # files may still be large enough to split into ample row-group
+        # partitions, so the split estimate uses actual bytes per
+        # maxPartitionBytes before forcing a shuffle of the whole input. At
         # real scale the input supplies ample splits and this never fires.
         target = spark.sparkContext.defaultParallelism
-        try:
-            n_inputs = len(files_src.inputFiles())
-        except Exception:
-            n_inputs = target
-        if n_inputs < target:
+        if _estimated_splits(spark, files_src, target) < target:
             files_src = files_src.repartition(target)
-        # pre-scans (bounded dims -> broadcast inside extract_records)
+        # pre-scans (bounded dims -> broadcast inside extract_records);
+        # an over-cap TS-project dim (None) switches to the Spark-side
+        # path-prefix join instead of a driver dict
         ts_projects = scan_ts_projects(files_src)
         pkg_meta = collect_pkg_meta(pkg_metadata)
-        records = extract_records(files_src, min_acc, ts_projects, pkg_meta)
+        extract_src = (files_src if ts_projects is not None
+                       else attach_ts_projects(files_src))
+        records = extract_records(extract_src, min_acc, ts_projects, pkg_meta)
         if persist:
             records = records.persist()
 

@@ -47,3 +47,45 @@ def test_purge_removes_only_target_repo(spark, tiny_result, tmp_path):
     assert kept.filter("repo = 'repo0001'").count() > 0
     live_edges = spark.read.parquet(f"{out}/edges")
     assert live_edges.filter("repo = 'repo0000'").count() == 0
+
+
+def test_purge_recovers_dangling_old(spark, tiny_result, tmp_path):
+    """A crash between purge's two renames leaves <table>__old and no live
+    path; the next purge entry must recover it before filtering."""
+    import os
+
+    from codegraph.pipeline import purge
+
+    out = str(tmp_path / "graph")
+    tiny_result["nodes"].write.mode("overwrite").parquet(f"{out}/nodes")
+    os.rename(f"{out}/nodes", f"{out}/nodes__old")  # simulated crash state
+    purge(spark, out, "repo0000")
+    kept = spark.read.parquet(f"{out}/nodes")
+    assert kept.filter("repo = 'repo0000'").count() == 0
+    assert kept.filter("repo = 'repo0001'").count() > 0
+    assert not os.path.exists(f"{out}/nodes__old")
+
+
+def test_repartition_gate_respects_row_group_splits(spark, tiny_source, tmp_path):
+    """Few-but-large files: the pre-extraction repartition gate must count
+    byte-derived splits, not raw file count (ADVICE r2)."""
+    from codegraph.pipeline import _estimated_splits, _parse_bytes
+
+    assert _parse_bytes("128MB") == 128 * 1024 * 1024
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("1g") == 1024 ** 3
+
+    p = str(tmp_path / "one_big_file")
+    tiny_source.coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    target = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512b")
+        # single file, but thousands of byte-splits -> gate must NOT fire
+        assert _estimated_splits(spark, df, target) >= target
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # with the default 128MB the tiny file genuinely has few splits
+    assert _estimated_splits(spark, df, target) < target

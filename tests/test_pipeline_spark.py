@@ -136,3 +136,46 @@ def test_determinism_rerun_identical(spark, tiny_source, tiny_result):
     e2 = (res2["linked"].orderBy("repo", "src_key", "rel_type", "dst_key")
           .toPandas())
     assert e1.equals(e2)
+
+
+def test_ts_prefix_join_parity_with_broadcast_dict(spark, tiny_source, monkeypatch):
+    """Large-dim fallback (dispatch.attach_ts_projects): with the dim cap
+    forced to 0 the pre-scan returns None, the pipeline resolves project
+    roots via the path-prefix join, and extraction output is byte-identical
+    to the broadcast-dict path (so kg_ts_symbols stays green)."""
+    from codegraph.extract import dispatch
+    from codegraph.pipeline import discover
+
+    src = discover(tiny_source)
+    ts = dispatch.scan_ts_projects(src)
+    assert ts, "fixture must contain package.json projects"
+
+    monkeypatch.setattr(dispatch, "MAX_DIM_ROWS", 0)
+    assert dispatch.scan_ts_projects(src) is None
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = dispatch.extract_records(src, 1, ts, {})
+    joined = dispatch.extract_records(dispatch.attach_ts_projects(src), 1,
+                                      None, {})
+    assert rows(joined) == rows(base)
+
+
+def test_ts_prefix_join_picks_nearest_ancestor(spark):
+    """Nested package.json: the longest-prefix match must win, and files
+    outside any project resolve to NULL (skipped, like the dict walk)."""
+    from codegraph.extract import dispatch
+
+    src = spark.createDataFrame(
+        [("r", "web/package.json", '{"name": "outer"}'),
+         ("r", "web/pkgs/inner/package.json", '{"name": "inner"}'),
+         ("r", "web/src/a.ts", "export class A {}"),
+         ("r", "web/pkgs/inner/src/b.ts", "export class B {}"),
+         ("r", "stray/c.ts", "export class C {}")],
+        "repo string, path string, content string")
+    got = {r["path"]: (r["ts_project"], r["ts_project_dir"])
+           for r in dispatch.attach_ts_projects(src).collect()}
+    assert got["web/src/a.ts"] == ("outer", "web")
+    assert got["web/pkgs/inner/src/b.ts"] == ("inner", "web/pkgs/inner")
+    assert got["stray/c.ts"] == (None, None)
