@@ -109,7 +109,7 @@ def _records(spark: SparkSession, sf_dir: str):
     session+sf)."""
     from codegraph import pipeline as P
     from codegraph.extract import extract_records
-    from codegraph.extract.dispatch import scan_ts_projects
+    from codegraph.extract.dispatch import scan_ts_configs, scan_ts_projects
     from codegraph.schema import ACC_ORDER
 
     key = f"codegraph_records_{gen.sf_name_from_dir(sf_dir)}"
@@ -119,11 +119,13 @@ def _records(spark: SparkSession, sf_dir: str):
         return spark._cg_cache[key]
     src = P.discover(_fixture_df(spark, sf_dir, "source_files"))
     ts_projects = scan_ts_projects(src)
+    ts_configs = scan_ts_configs(src)
     pkg_meta = {}
     for r in _fixture_df(spark, sf_dir, "pkg_metadata").collect():
         pkg_meta[(r["source"], r["pkg"])] = (r["homepage"], r["repository"],
                                              r["project_url"])
-    rec = extract_records(src, ACC_ORDER["Private"], ts_projects, pkg_meta).persist()
+    rec = extract_records(src, ACC_ORDER["Private"], ts_projects, pkg_meta,
+                          ts_configs=ts_configs).persist()
     spark._cg_cache[key] = rec
     return rec
 

@@ -47,7 +47,8 @@ def handler_for_path(path: str) -> str | None:
 
 def _extract_into(em: Emitter, repo: str, path: str, content: str, min_acc: int,
                   ts_projects: dict, pkg_meta: dict,
-                  ts_resolved: tuple | None = None) -> None:
+                  ts_resolved: tuple | None = None,
+                  ts_configs: dict | None = None) -> None:
     handler = handler_for_path(path)
     file_key = path  # fileKey == solution-relative path (FileService.cs:24-55)
     if handler is None:
@@ -81,78 +82,116 @@ def _extract_into(em: Emitter, repo: str, path: str, content: str, min_acc: int,
         tl.extract_pubspec(em, content, file_key, min_acc)
     elif handler in ("typescript", "javascript"):
         td.extract_ts(em, content, repo, file_key, min_acc, ts_projects,
-                      resolved=ts_resolved)
+                      resolved=ts_resolved, ts_configs=ts_configs)
     elif handler == "dart":
         td.extract_dart(em, content, repo, file_key, min_acc)
 
 
 def _extract_one(repo: str, path: str, content: str, min_acc: int,
-                 ts_projects: dict, pkg_meta: dict) -> list[dict]:
+                 ts_projects: dict, pkg_meta: dict,
+                 ts_configs: dict | None = None) -> list[dict]:
     """Single-file extraction returning row dicts (test/debug convenience)."""
     em = Emitter()
-    _extract_into(em, repo, path, content, min_acc, ts_projects, pkg_meta)
+    _extract_into(em, repo, path, content, min_acc, ts_projects, pkg_meta,
+                  ts_configs=ts_configs)
     return em.rows
 
 
 def extract_records(source_df, min_acc: int, ts_projects: dict | None,
-                    pkg_meta: dict):
+                    pkg_meta: dict, ts_configs: dict | None = None):
     """source (repo, path, commit, lang, content) -> unified extraction
     records. ts_projects: {(repo, dir): project_name} from the package.json
     pre-scan (stand-in for FindProjectRoot, TypeScriptHandlerBase.cs:115-129);
-    pkg_meta: {(source, pkg): (homepage, repository, project_url)}.
+    pkg_meta: {(source, pkg): (homepage, repository, project_url)};
+    ts_configs: {(repo, dir): (include_json, exclude_json)} tsconfig file
+    selection per project root (analyzer.ts:11-33).
 
-    Both dims ride as broadcast variables: unpacked once per executor JVM
+    The dims ride as broadcast variables: unpacked once per executor JVM
     worker instead of being serialized into every task.
 
     ``ts_projects=None`` selects the large-dim join path: the source must
-    already carry ``ts_project``/``ts_project_dir`` columns (from
-    ``attach_ts_projects``) and the per-row values replace the in-UDF
-    ancestor walk."""
+    already carry ``ts_project``/``ts_project_dir``/``ts_includes``/
+    ``ts_excludes`` columns (from ``attach_ts_projects``) and the per-row
+    values replace the in-UDF ancestor walk."""
     sc = source_df.sparkSession.sparkContext
     join_mode = ts_projects is None
     bc_ts = sc.broadcast({} if join_mode else ts_projects)
+    bc_cfg = sc.broadcast(ts_configs or {})
     bc_pkg = sc.broadcast(pkg_meta)
 
+    def _s(v):
+        return v if isinstance(v, str) else None
+
     def run(batches):
-        ts, pkg = bc_ts.value, bc_pkg.value
+        ts, pkg, cfg = bc_ts.value, bc_pkg.value, bc_cfg.value
         for pdf in batches:
             em = Emitter()
             if join_mode:
-                for repo, path, content, proj, pdir in zip(
+                for repo, path, content, proj, pdir, inc, exc in zip(
                         pdf["repo"], pdf["path"], pdf["content"],
-                        pdf["ts_project"], pdf["ts_project_dir"]):
-                    resolved = (proj if isinstance(proj, str) else None,
-                                pdir if isinstance(pdir, str) else None)
+                        pdf["ts_project"], pdf["ts_project_dir"],
+                        pdf["ts_includes"], pdf["ts_excludes"]):
+                    resolved = (_s(proj), _s(pdir), _s(inc), _s(exc))
                     _extract_into(em, repo, path, content, min_acc, ts, pkg,
                                   ts_resolved=resolved)
             else:
                 for repo, path, content in zip(pdf["repo"], pdf["path"],
                                                pdf["content"]):
-                    _extract_into(em, repo, path, content, min_acc, ts, pkg)
+                    _extract_into(em, repo, path, content, min_acc, ts, pkg,
+                                  ts_configs=cfg)
             if em.n:
                 yield em.to_pandas()
 
     cols = ["repo", "path", "content"]
     if join_mode:
-        cols += ["ts_project", "ts_project_dir"]
+        cols += ["ts_project", "ts_project_dir", "ts_includes", "ts_excludes"]
     return source_df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
+def _dir_of_path():
+    from pyspark.sql import functions as F
+
+    return F.array_join(F.slice(F.split(F.col("path"), "/"), 1,
+                                F.size(F.split(F.col("path"), "/")) - 1), "/")
+
+
 def _ts_project_dim(source_df):
-    """(repo, dir, name) per package.json with a non-null $.name — the same
-    triples the broadcast dict holds, as a DataFrame. JSON parse stays
-    executor-side (Catalyst ``get_json_object``)."""
+    """(repo, dir, name) per package.json — the same triples the broadcast
+    dict holds, as a DataFrame. JSON parse stays executor-side (Catalyst
+    ``get_json_object``). A package.json without a ``name`` still anchors a
+    project: the analyzer falls back to the project-root directory name
+    (analyzer.ts:56-68 readProjectName -> path.basename), repo id at the
+    repo root."""
     from pyspark.sql import functions as F
 
     return (
         source_df
         .filter(F.lower(F.element_at(F.split(F.col("path"), "/"), -1)) == "package.json")
-        .select("repo",
-                F.array_join(F.slice(F.split(F.col("path"), "/"), 1,
-                                     F.size(F.split(F.col("path"), "/")) - 1),
-                             "/").alias("dir"),
-                F.get_json_object(F.col("content"), "$.name").alias("name"))
-        .filter(F.col("name").isNotNull())
+        .select("repo", _dir_of_path().alias("dir"),
+                F.get_json_object(F.col("content"), "$.name").alias("pkg_name"))
+        .select("repo", "dir",
+                F.coalesce(
+                    F.col("pkg_name"),
+                    F.nullif(F.element_at(F.split(F.col("dir"), "/"), -1), F.lit("")),
+                    F.col("repo")).alias("name"))
+    )
+
+
+def _ts_config_dim(source_df):
+    """(repo, dir, include-json, exclude-json) per tsconfig.json sitting at
+    a project root. The reference feeds tsconfig's file selection into the
+    TS program (analyzer.ts:11-33 parseJsonConfigFileContent): only files
+    matched by ``include`` (all, when absent) minus ``exclude`` are
+    analyzed. The arrays ride as raw JSON strings; the in-UDF gate parses
+    and prefix-normalizes them."""
+    from pyspark.sql import functions as F
+
+    return (
+        source_df
+        .filter(F.lower(F.element_at(F.split(F.col("path"), "/"), -1)) == "tsconfig.json")
+        .select("repo", _dir_of_path().alias("dir"),
+                F.get_json_object(F.col("content"), "$.include").alias("inc"),
+                F.get_json_object(F.col("content"), "$.exclude").alias("exc"))
     )
 
 
@@ -168,6 +207,15 @@ def scan_ts_projects(source_df) -> dict | None:
     if len(rows) > MAX_DIM_ROWS:
         return None
     return {(r["repo"], r["dir"]): r["name"] for r in rows}
+
+
+def scan_ts_configs(source_df) -> dict | None:
+    """{(repo, project_dir): (include_json, exclude_json)} for the broadcast
+    path; ``None`` over the cap (join mode attaches the columns instead)."""
+    rows = _ts_config_dim(source_df).limit(MAX_DIM_ROWS + 1).collect()
+    if len(rows) > MAX_DIM_ROWS:
+        return None
+    return {(r["repo"], r["dir"]): (r["inc"], r["exc"]) for r in rows}
 
 
 def attach_ts_projects(source_df):
@@ -197,6 +245,13 @@ def attach_ts_projects(source_df):
                                        F.col("dir").alias("ts_project_dir")),
                               F.length("dir")).alias("m"))
                 .select("repo", "path", "m.ts_project", "m.ts_project_dir"))
+    # tsconfig file-selection arrays ride along, joined on the resolved
+    # project root (same keyspace, same partitioning — no broadcast)
+    cfg = (_ts_config_dim(source_df)
+           .select("repo", F.col("dir").alias("ts_project_dir"),
+                   F.col("inc").alias("ts_includes"),
+                   F.col("exc").alias("ts_excludes")))
+    resolved = resolved.join(cfg, ["repo", "ts_project_dir"], "left")
     return source_df.join(resolved, ["repo", "path"], "left")
 
 

@@ -101,12 +101,60 @@ def _decorators_before(content: str, idx: int) -> list[str]:
 
 
 _TS_SKIP_RE = re.compile(
-    r"(\.d\.ts$)|(\.generated\.)|((^|/)(dist|build|\.next|coverage)/)")
+    r"(\.d\.ts$)|(\.generated\.)|((^|/)(dist|build|\.next|\.nuxt|coverage)/)")
+
+
+def _norm_cfg_entry(e: str) -> str:
+    """tsconfig include/exclude entry -> dir/file prefix: './src/**/*' ->
+    'src' (the documented subset of the glob grammar
+    parseJsonConfigFileContent accepts, analyzer.ts:21)."""
+    if e.startswith("./"):
+        e = e[2:]
+    for suffix in ("/**/*", "/**", "/*"):
+        if e.endswith(suffix):
+            e = e[: -len(suffix)]
+            break
+    return e.rstrip("/")
+
+
+def _cfg_hit(rel: str, entries: list[str]) -> bool:
+    for e in entries:
+        p = _norm_cfg_entry(e)
+        if p == "" or rel == p or rel.startswith(p + "/"):
+            return True
+    return False
+
+
+def _tsconfig_selects(rel_in_project: str, inc_json: str | None,
+                      exc_json: str | None) -> bool:
+    """File-selection gate from the project root's tsconfig.json
+    (analyzer.ts:16-33): files matched by ``include`` (everything when the
+    key is absent) minus ``exclude`` form the TS program; everything else
+    is never analyzed."""
+    import json
+
+    def _arr(s):
+        if s is None:
+            return None
+        try:
+            v = json.loads(s)
+        except ValueError:
+            return None
+        return [e for e in v if isinstance(e, str)] if isinstance(v, list) else None
+
+    inc = _arr(inc_json)
+    if inc is not None and not _cfg_hit(rel_in_project, inc):
+        return False
+    exc = _arr(exc_json)
+    if exc and _cfg_hit(rel_in_project, exc):
+        return False
+    return True
 
 
 def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
                min_acc: int, ts_projects: dict,
-               resolved: tuple | None = None) -> None:
+               resolved: tuple | None = None,
+               ts_configs: dict | None = None) -> None:
     ns = keys.dir_namespace(em.path)
     em.filemeta(ns or None)
 
@@ -119,8 +167,11 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
     # ``resolved`` carries the Spark-side path-prefix-join answer when the
     # package dim was too big to broadcast (dispatch.attach_ts_projects);
     # otherwise walk the broadcast dict up the ancestor chain.
+    inc_json = exc_json = None
     if resolved is not None:
-        project, project_dir = resolved
+        project, project_dir = resolved[0], resolved[1]
+        if len(resolved) > 2:
+            inc_json, exc_json = resolved[2], resolved[3]
     else:
         project = None
         project_dir = None
@@ -133,10 +184,17 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
             if d == "":
                 break
             d = posixpath.dirname(d)
+        if project is not None and ts_configs:
+            inc_json, exc_json = ts_configs.get((repo, project_dir), (None, None))
     if project is None:
         return  # no package.json ancestor -> analyzer skipped the file
 
     rel_in_project = file_key[len(project_dir) + 1:] if project_dir else file_key
+
+    # tsconfig file selection (analyzer.ts:16-33): outside the program ->
+    # the analyzer never visits the file
+    if not _tsconfig_selects(rel_in_project, inc_json, exc_json):
+        return
 
     def fqn(name: str, cls: str | None = None) -> str:
         prefix = f"@{project}/{rel_in_project}"
@@ -304,8 +362,36 @@ _DART_TOPVAR_RE = re.compile(r"^(?:final|const)\s+[\w<>]+\s+(?P<name>_?\w+)\s*="
 _DART_TOPGET_RE = re.compile(r"^[\w<>]+\s+get\s+(?P<name>_?\w+)\s*(?:=>|\{)", re.MULTILINE)
 _DART_FIELD_RE = re.compile(r"^[ \t]+(?:final\s+|const\s+|late\s+)?(?P<type>[\w<>]+)[ \t]+(?P<name>_?\w+)\s*(?:=[^;]*)?;", re.MULTILINE)
 _DART_GETTER_RE = re.compile(r"^[ \t]+[\w<>]+[ \t]+get[ \t]+(?P<name>_?\w+)\s*=>", re.MULTILINE)
+_DART_SETTER_RE = re.compile(
+    r"^[ \t]+(?:[\w<>]+[ \t]+)?set[ \t]+(?P<name>_?\w+)\s*\(", re.MULTILINE)
+_DART_TOPSET_RE = re.compile(
+    r"^(?:[\w<>]+\s+)?set\s+(?P<name>_?\w+)\s*\(", re.MULTILINE)
 _DART_METHOD_RE = re.compile(r"^[ \t]+(?P<ret>[\w<>]+)[ \t]+(?P<name>_?\w+)\s*\([^)]*\)\s*(?:\{|=>)", re.MULTILINE)
 _DART_CALL_RE = re.compile(r"(\w+)\.(\w+)\s*\(|(?<![\w.])(\w+)\s*\(")
+_DART_INVOKE_RE = re.compile(r"((?:\w+\s*\.\s*)*)(\w+)\s*\(")
+_DART_CTRL_KEYWORDS = {"if", "for", "while", "switch", "catch", "assert",
+                       "return", "throw", "await", "yield", "super", "this"}
+_DART_LOCAL_FN_RE = re.compile(r"(?:var|final)\s+(\w+)\s*=")
+
+
+def _dart_call_kind(callee: str, has_receiver: bool, fn_locals: set) -> str | None:
+    """Invocation toKind per the resolved-AST node the reference visits
+    (ast_visitor.dart:431-485): any MethodInvocation (with or without a
+    target) -> 'method'; invoking a function-typed local variable is
+    rewritten to FunctionExpressionInvocation with a SimpleIdentifier
+    function -> 'function'; an uppercase bare call is an
+    InstanceCreationExpression -> 'constructor'. Control keywords and
+    super()/this() redirects (Super-/RedirectingConstructorInvocation
+    nodes, which the visitor does not emit) return None."""
+    if callee in _DART_CTRL_KEYWORDS:
+        return None
+    if has_receiver:
+        return "method"
+    if callee in fn_locals:
+        return "function"
+    if callee[0].isupper():
+        return "constructor"
+    return "method"
 
 
 def _dart_acc(name: str, annotations: str = "") -> str:
@@ -398,6 +484,12 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
             gl = _line_of(content, boff + gm.start())
             sym("DartProperty", gm.group("name"), "property", gl, at=boff + gm.start())
             em.rel(cls_tok, keys.text_key(file_key, "property", gm.group("name"), gl), R_CONTAINS)
+        # setters are DartProperty too (ast_visitor.dart:263-275: isGetter
+        # OR isSetter -> kind DartProperty, CONTAINS toKind 'property')
+        for sm in _DART_SETTER_RE.finditer(body):
+            sl = _line_of(content, boff + sm.start())
+            sym("DartProperty", sm.group("name"), "property", sl, at=boff + sm.start())
+            em.rel(cls_tok, keys.text_key(file_key, "property", sm.group("name"), sl), R_CONTAINS)
         # operator declarations (ast_visitor.dart:276-288): kind
         # DartOperator, fqn 'operator <op>'
         for om in _DART_OPERATOR_RE.finditer(body):
@@ -413,7 +505,8 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
             em.rel(cls_tok, keys.text_key(file_key, "constructor", name, cl), R_CONTAINS)
         for mm in _DART_METHOD_RE.finditer(body):
             mname = mm.group("name")
-            if mname == name or mm.group("ret") in ("final", "const", "return", "get"):
+            if mname == name or mm.group("ret") in ("final", "const", "return",
+                                                    "get", "set"):
                 continue
             ml = _line_of(content, boff + mm.start())
             sym("DartMethod", mname, "method", ml, at=boff + mm.start())
@@ -421,9 +514,13 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
             em.rel(cls_tok, mtok, R_CONTAINS)
             stmt_end = body.find("}", mm.end())
             stmt = body[mm.end():stmt_end if stmt_end > 0 else len(body)]
-            for c in re.finditer(r"(\w+)\.(\w+)\s*\(", stmt):
+            fn_locals = set(_DART_LOCAL_FN_RE.findall(stmt))
+            for c in _DART_INVOKE_RE.finditer(stmt):
+                kind = _dart_call_kind(c.group(2), bool(c.group(1)), fn_locals)
+                if kind is None:
+                    continue
                 em.rel(keys.text_key(file_key, "method", mname),
-                       keys.text_key(file_key, "method", c.group(2)), R_INVOKES)
+                       keys.text_key(file_key, kind, c.group(2)), R_INVOKES)
 
     for m in _DART_MIXIN_RE.finditer(content):
         sym("DartMixin", m.group("name"), "mixin", _line_of(content, m.start()),
@@ -445,18 +542,27 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
         name = m.group("name")
         ret = m.group("ret")
         if ret in ("class", "mixin", "enum", "extension", "typedef", "import",
-                   "final", "const", "get") or name == "get":
+                   "final", "const", "get", "set") or name in ("get", "set"):
             continue
         line = _line_of(content, m.start())
         sym("DartFunction", name, "function", line)
         rest = content[m.end():]
         end = rest.find("}")
-        for c in re.finditer(r"(?<![\w.])(\w+)\s*\(", rest[:end if end > 0 else 0]):
+        stmt = rest[:end if end > 0 else 0]
+        fn_locals = set(_DART_LOCAL_FN_RE.findall(stmt))
+        for c in _DART_INVOKE_RE.finditer(stmt):
+            kind = _dart_call_kind(c.group(2), bool(c.group(1)), fn_locals)
+            if kind is None:
+                continue
             em.rel(keys.text_key(file_key, "function", name),
-                   keys.text_key(file_key, "function", c.group(1)), R_INVOKES)
+                   keys.text_key(file_key, kind, c.group(2)), R_INVOKES)
     for m in _DART_TOPVAR_RE.finditer(content):
         sym("DartField", m.group("name"), "field", _line_of(content, m.start()),
             at=m.start())
     for m in _DART_TOPGET_RE.finditer(content):
+        sym("DartProperty", m.group("name"), "property", _line_of(content, m.start()),
+            at=m.start())
+    # top-level setters: DartProperty like getters (ast_visitor.dart:230-241)
+    for m in _DART_TOPSET_RE.finditer(content):
         sym("DartProperty", m.group("name"), "property", _line_of(content, m.start()),
             at=m.start())

@@ -156,6 +156,15 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             "has_generic": rng.random() < 0.30,
             # expression-bodied property (IPropertySymbol, get-only)
             "has_exprop": rng.random() < 0.35,
+            # nullable members: int? auto-property + string? Find(int?) --
+            # CSharpErrorMessageFormat keeps the '?' in parameter displays
+            "has_nullable": rng.random() < 0.30,
+            # expression-bodied METHOD whose => body invokes an own-type
+            # member (the INVOKES surface reaches arrow bodies too)
+            "has_exprmethod": rng.random() < 0.30,
+            # struct + record declarations (BaseTypeDeclarationSyntax covers
+            # them; Roslyn processes them like classes)
+            "has_struct": rng.random() < 0.25,
             # same-arity overload pair called with an argument the lexer
             # cannot classify -> ambiguity -> NO edge (plus a literal call
             # that does resolve)
@@ -270,6 +279,19 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
     # orphan TS with no ancestor package.json => analyzer skips it
     files.append({"kind": "typescript_orphan", "lang": "typescript", "path": "tools/orphan.ts", "i": 0,
                   "abstract": False})
+    # tsconfig file selection (analyzer.ts:16-33): the web project's program
+    # is include=["src"] minus exclude=["src/legacy"] -- build0.ts (outside
+    # include) and legacy0.ts (excluded) are discovered but never analyzed
+    files.append({"kind": "tsconfig", "lang": "json", "path": "web/tsconfig.json"})
+    files.append({"kind": "typescript", "lang": "typescript",
+                  "path": "web/scripts/build0.ts", "i": 0, "abstract": False})
+    files.append({"kind": "typescript", "lang": "typescript",
+                  "path": "web/src/legacy/legacy0.ts", "i": 0, "abstract": False})
+    # nameless package.json project: name falls back to basename(root)
+    # (analyzer.ts:56-68 readProjectName)
+    files.append({"kind": "packagejson_noname", "lang": "packagejson", "path": "lib/package.json"})
+    files.append({"kind": "typescript", "lang": "typescript",
+                  "path": "lib/src/box0.ts", "i": 0, "abstract": False})
 
     return {
         "repo": repo, "idx": repo_idx, "app_ns": app_ns, "namespaces": namespaces,
@@ -418,6 +440,22 @@ def _render_one_class(c: dict) -> list:
     if c.get("has_exprop"):
         # expression-bodied property -> Property symbol, not a field
         lines.append("    public int Total => Count;")
+    if c.get("has_nullable"):
+        # nullable value type in display: key 'Ns.Cls.Find(int?)'; the
+        # type deps strip the annotation (int? -> int, string? -> string)
+        lines.append("    public int? Slot { get; set; }")
+        lines.append("    public string? Find(int? key)")
+        lines.append("    {")
+        lines.append("        return null;")
+        lines.append("    }")
+    if c.get("has_exprmethod"):
+        # arrow-bodied method: same IMethodSymbol shape, and its expression
+        # body participates in the INVOKES surface
+        lines.append("    public int Peek() => Grab();")
+        lines.append("    private int Grab()")
+        lines.append("    {")
+        lines.append("        return 1;")
+        lines.append("    }")
     if c.get("has_ambig"):
         # same-arity overloads: Pick(Count) passes a property access the
         # lexer cannot classify ('?') -> ambiguity -> NO edge; Pick(7)
@@ -476,6 +514,18 @@ def _render_one_class(c: dict) -> list:
         lines.append("    Beta,")
         lines.append("    Gamma")
         lines.append("}")
+    if c.get("has_struct"):
+        # struct + record type declarations (RoslynSymbolProcessor walks
+        # BaseTypeDeclarationSyntax, so these process exactly like classes)
+        lines.append("")
+        lines.append(f"public struct {name}Point")
+        lines.append("{")
+        lines.append("    public int X { get; set; }")
+        lines.append("}")
+        lines.append(f"public record {name}Note")
+        lines.append("{")
+        lines.append("    public int Id { get; set; }")
+        lines.append("}")
     return lines
 
 
@@ -510,6 +560,16 @@ def _render_packagejson(spec: dict) -> str:
         f'  "devDependencies": {{ {dev_str} }}\n'
         "}\n"
     )
+
+
+def _render_tsconfig(spec: dict) -> str:
+    return ('{\n  "include": ["src"],\n  "exclude": ["src/legacy"],\n'
+            '  "compilerOptions": { "strict": true }\n}\n')
+
+
+def _render_packagejson_noname(spec: dict) -> str:
+    # no "name": the analyzer falls back to basename(projectRoot)
+    return '{\n  "private": true,\n  "version": "0.0.1"\n}\n'
 
 
 def _render_pubspec(spec: dict) -> str:
@@ -590,18 +650,21 @@ class Widget{i} extends Base with Mixy{i} implements IWidget{i} {{
   final Helper helper;
   Widget{i}(this.helper);
   int get count => {i};
+  set scale{i}(int v) {{}}
   Widget{i} operator +(Widget{i} other) => this;
   @protected
   void guard{i}() {{ render(); }}
   @visibleForTesting
   void probe{i}() {{ render(); }}
   void render() {{ helper.fix(); }}
+  void wire{i}() {{ final cb{i} = pick{i}(); cb{i}(); Widget{i}(helper); refresh{i}(); }}
 }}
 mixin Mixy{i} {{}}
 enum Mode{i} {{ alpha, beta }}
 typedef Handler{i} = void Function();
 extension type Meters{i}(int v) {{}}
 void {priv}main{i}() {{ render(); }}
+set volume{i}(int v) {{}}
 final int level{i} = {i};
 """
 
@@ -710,6 +773,8 @@ _RENDERERS = {
     "csharp_partial2": _render_csharp_partial2,
     "csproj": _render_csproj,
     "packagejson": _render_packagejson,
+    "packagejson_noname": _render_packagejson_noname,
+    "tsconfig": _render_tsconfig,
     "pubspec": _render_pubspec,
     "css": _render_css,
     "html": _render_html,

@@ -141,11 +141,13 @@ def _extract_stage(filtered: DataFrame, pkg_metadata: DataFrame | None,
     from codegraph.extract import extract_records
     from codegraph.extract.dispatch import (attach_ts_projects,
                                             collect_pkg_meta,
+                                            scan_ts_configs,
                                             scan_ts_projects)
     from codegraph.schema import ACC_ORDER
 
     ts_projects = scan_ts_projects(filtered)
+    ts_configs = scan_ts_configs(filtered) if ts_projects is not None else None
     pkg_meta = collect_pkg_meta(pkg_metadata)
     src = filtered if ts_projects is not None else attach_ts_projects(filtered)
     return extract_records(src, ACC_ORDER[min_accessibility],
-                           ts_projects, pkg_meta)
+                           ts_projects, pkg_meta, ts_configs=ts_configs)

@@ -52,7 +52,7 @@ cs_lines AS (
 # user-defined operator and conversion declarations.
 CS_CTX = r"""marks AS (
   SELECT repo, path, ns, ln, line,
-         nullif(regexp_extract(line, '^public (?:partial )?(?:class|interface|enum) (\w+(?:<[\w, ]+>)?)$', 1), '') AS tdecl,
+         nullif(regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1), '') AS tdecl,
          CASE WHEN regexp_matches(line, '^public enum ') THEN TRUE ELSE FALSE END AS is_enum_decl
   FROM cs_lines
 ),
@@ -95,10 +95,10 @@ members AS (
          regexp_extract(line, '^    (\w+),?$', 1), NULL
   FROM tdisp WHERE cur_is_enum AND regexp_matches(line, '^    \w+,?$')
   UNION ALL
-  -- properties (type token may be a generic type parameter)
+  -- properties (type token may be a generic type parameter or nullable)
   SELECT repo, path, ns, ln, type_display, 'Property',
-         regexp_extract(line, '^    public (\w+) (\w+) \{ get; set; \}', 2), NULL
-  FROM tdisp WHERE regexp_matches(line, '^    public \w+ \w+ \{ get; set; \}')
+         regexp_extract(line, '^    public ([\w?]+) (\w+) \{ get; set; \}', 2), NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public [\w?]+ \w+ \{ get; set; \}')
   UNION ALL
   -- nested-type properties (8-indent; belong to <outer>.Inner)
   SELECT repo, path, ns, ln, type_display || '.Inner', 'Property', 'Size', NULL
@@ -154,18 +154,24 @@ members AS (
          regexp_extract(line, '^    public int (\w+) =>', 1), NULL
   FROM tdisp WHERE regexp_matches(line, '^    public int \w+ => [^;]+;$')
   UNION ALL
-  -- methods, ctors, interface members: name(paramTok, ...)
+  -- expression-bodied METHODS: '(...) =>' makes it an IMethodSymbol
   SELECT repo, path, ns, ln, type_display, 'Method',
-         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?(\w+)\(([^)]*)\)[;]?$', 1)
+         regexp_extract(line, '^    public int (\w+)\(\) =>', 1) || '()', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public int \w+\(\) => [^;]+;$')
+  UNION ALL
+  -- methods, ctors, interface members: name(paramTok, ...); return types
+  -- may carry a nullable annotation (string? Find(int?))
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\?? )?(\w+)\(([^)]*)\)[;]?$', 1)
            || '(' ||
            coalesce(array_to_string(
              list_transform(
-               list_filter(string_split(regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?(\w+)\(([^)]*)\)[;]?$', 2), ','),
+               list_filter(string_split(regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\?? )?(\w+)\(([^)]*)\)[;]?$', 2), ','),
                            p -> trim(p) != ''),
                p -> string_split(trim(p), ' ')[1]), ', '), '')
            || ')', NULL
   FROM tdisp
-  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\w+\([^)]*\)[;]?$')
+  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\?? )?\w+\([^)]*\)[;]?$')
 ),
 member_keys AS (
   SELECT repo, path, ns, ln, type_display, mkind,
@@ -177,10 +183,10 @@ cs_types AS (
   -- (Roslyn merges them into ONE symbol; raw extraction emits one row per
   -- declaring file, exactly like ProcessSymbol per syntax tree)
   SELECT repo, path, ns, ln,
-         regexp_extract(line, '^public (?:partial )?(?:class|interface|enum) (\w+)', 1) AS name,
-         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:partial )?(?:class|interface|enum) (\w+(?:<[\w, ]+>)?)$', 1)
-              ELSE ns || '.' || regexp_extract(line, '^public (?:partial )?(?:class|interface|enum) (\w+(?:<[\w, ]+>)?)$', 1) END AS display
-  FROM cs_lines WHERE regexp_matches(line, '^public (?:partial )?(?:class|interface|enum) \w+(<[\w, ]+>)?$')
+         regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+)', 1) AS name,
+         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1)
+              ELSE ns || '.' || regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1) END AS display
+  FROM cs_lines WHERE regexp_matches(line, '^public (?:partial )?(?:class|interface|enum|struct|record) \w+(<[\w, ]+>)?$')
   UNION ALL
   SELECT repo, path, ns, ln, 'Inner', nested_display
   FROM nested_types
@@ -223,12 +229,13 @@ lines AS (
     AND regexp_matches(content, 'public (partial )?(class|interface|enum) ')
 )
 SELECT repo, path,
-  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$')))
+  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\\?? )?\\w+\\([^)]*\\)[;]?$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\)$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+\\(\\) => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
                             AND NOT regexp_matches(l, '^    public static (implicit|explicit) operator ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static (implicit|explicit) operator '))) AS n_methods,
-  len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ \\w+ \\{{ get; set; \\}}$')))
+  len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w?]+ \\w+ \\{{ get; set; \\}}$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+ => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^        public int Size \\{{ get; set; \\}}$'))) AS n_properties,
   len(list_filter(ls, l -> regexp_matches(l, '^    private readonly [\\w<>]+ _\\w+;$')))
@@ -495,6 +502,13 @@ calls AS (
   -- this.Run() / Run()
   SELECT repo, path, cur_method, type_display, NULL, 'Run()'
   FROM body WHERE regexp_matches(line, '^        (this\\.)?Run\\(\\);$')
+  UNION ALL
+  -- arrow-body own-type call: public int Peek() => Grab();
+  SELECT repo, path,
+         type_display || '.' || regexp_extract(line, '^    public int (\\w+)\\(\\) =>', 1) || '()',
+         type_display, NULL,
+         regexp_extract(line, '=> (\\w+)\\(\\);$', 1) || '()'
+  FROM tdisp WHERE regexp_matches(line, '^    public int \\w+\\(\\) => \\w+\\(\\);$')
   UNION ALL
   -- new X()
   SELECT repo, path, cur_method, type_display,
@@ -812,6 +826,13 @@ tsd AS (
   SELECT repo, regexp_replace(path, '/[^/]*$', '') AS dir
   FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'package.json'
 ),
+tsd_cfg AS (
+  -- tsconfig file selection mirrors kg_ts_symbols (analyzer.ts:16-33)
+  SELECT repo, regexp_replace(path, '/[^/]*$', '') AS dir,
+         cast(json_extract(content, '$.include') AS VARCHAR[]) AS inc,
+         cast(json_extract(content, '$.exclude') AS VARCHAR[]) AS exc
+  FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'tsconfig.json'
+),
 ts_n AS (
   -- one symbol per kind-rule match; the generated TS template has a fixed
   -- per-file surface: class, field, ctor, get+set property (2), method,
@@ -819,13 +840,21 @@ ts_n AS (
   SELECT d.repo, 12 * count(*) AS n
   FROM discovered d
   JOIN tsd p ON d.repo = p.repo AND d.path LIKE p.dir || '/%'
+  LEFT JOIN tsd_cfg c ON d.repo = c.repo AND p.dir = c.dir
   WHERE regexp_matches(lower(d.path), '\\.(ts|tsx|js)$')
+    AND (c.inc IS NULL OR len(list_filter(c.inc, e ->
+           substr(d.path, length(p.dir) + 2) = e
+           OR substr(d.path, length(p.dir) + 2) LIKE e || '/%')) > 0)
+    AND (c.exc IS NULL OR len(list_filter(c.exc, e ->
+           substr(d.path, length(p.dir) + 2) = e
+           OR substr(d.path, length(p.dir) + 2) LIKE e || '/%')) = 0)
   GROUP BY d.repo
 ),
 dart_n AS (
-  -- fixed per-file surface: class, field, ctor, getter, operator, 3 methods,
-  -- mixin, enum, typedef, extension type, function, top-level field = 14
-  SELECT repo, 14 * count(*) AS n
+  -- fixed per-file surface: class, field, ctor, getter, class setter,
+  -- operator, 4 methods (guard/probe/render/wire), mixin, enum, typedef,
+  -- extension type, function, top-level setter, top-level field = 17
+  SELECT repo, 17 * count(*) AS n
   FROM discovered WHERE lower(path) LIKE '%.dart'
   GROUP BY repo
 ),
@@ -916,13 +945,27 @@ nsrc AS (
      OR (lower(path) LIKE '%.json' AND lower(string_split(path, '/')[-1]) != 'package.json')
      OR (lower(path) LIKE '%.xml' AND lower(path) NOT LIKE '%.csproj')
      OR lower(path) LIKE '%.csproj' OR lower(path) LIKE '%.dart'
-     OR lower(string_split(path, '/')[-1]) IN ('package.json', 'pubspec.yaml')
+     -- manifest dirs tag only when they flush >=1 Dependency symbol: a
+     -- nameless/dep-less package.json emits no symbols, hence no tags
+     OR (lower(string_split(path, '/')[-1]) = 'package.json'
+         AND (coalesce(len(json_keys(content, '$.dependencies')), 0)
+              + coalesce(len(json_keys(content, '$.devDependencies')), 0)) > 0)
+     OR lower(string_split(path, '/')[-1]) = 'pubspec.yaml'
   UNION
   -- TS/JS files emit symbols (and so dir-namespace tags) only under a
-  -- package.json project root
+  -- package.json project root AND inside the tsconfig file selection
+  -- (tags come from flushed symbols, Neo4jFlushService.cs:90-94)
   SELECT DISTINCT d.repo, regexp_replace(d.path, '/[^/]*$', '')
-  FROM discovered d JOIN tsd p ON d.repo = p.repo AND d.path LIKE p.dir || '/%'
+  FROM discovered d
+  JOIN tsd p ON d.repo = p.repo AND d.path LIKE p.dir || '/%'
+  LEFT JOIN tsd_cfg c ON d.repo = c.repo AND p.dir = c.dir
   WHERE regexp_matches(lower(d.path), '\\.(ts|tsx|js)$')
+    AND (c.inc IS NULL OR len(list_filter(c.inc, e ->
+           substr(d.path, length(p.dir) + 2) = e
+           OR substr(d.path, length(p.dir) + 2) LIKE e || '/%')) > 0)
+    AND (c.exc IS NULL OR len(list_filter(c.exc, e ->
+           substr(d.path, length(p.dir) + 2) = e
+           OR substr(d.path, length(p.dir) + 2) LIKE e || '/%')) = 0)
 ),
 tag_n AS (
   SELECT repo, count(DISTINCT
@@ -999,16 +1042,35 @@ FROM xl WHERE regexp_matches(l, 'x:Name="')"""
 # kinds/keys/fqn per visitor.ts + TextSymbolMapper re-keying
 ORACLES["kg_ts_symbols"] = f"""WITH {DISC},
 pkg AS (
+  -- project name falls back to basename(root) when package.json has no
+  -- $.name (analyzer.ts:56-68), repo id at the repo root
   SELECT repo, regexp_replace(path, '/[^/]*$', '') AS dir,
-         json_extract_string(content, '$.name') AS project
+         coalesce(json_extract_string(content, '$.name'),
+                  nullif(string_split(regexp_replace(path, '/[^/]*$', ''), '/')[-1], ''),
+                  repo) AS project
   FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'package.json'
+),
+tscfg AS (
+  -- tsconfig include/exclude file selection (analyzer.ts:16-33); entries in
+  -- the generated subset are plain directory prefixes
+  SELECT repo, regexp_replace(path, '/[^/]*$', '') AS dir,
+         cast(json_extract(content, '$.include') AS VARCHAR[]) AS inc,
+         cast(json_extract(content, '$.exclude') AS VARCHAR[]) AS exc
+  FROM discovered WHERE lower(string_split(path, '/')[-1]) = 'tsconfig.json'
 ),
 tsf AS (
   SELECT d.repo, d.path, d.content, p.project,
          substr(d.path, length(p.dir) + 2) AS rel
   FROM discovered d
   JOIN pkg p ON d.repo = p.repo AND d.path LIKE p.dir || '/%'
+  LEFT JOIN tscfg c ON d.repo = c.repo AND p.dir = c.dir
   WHERE regexp_matches(lower(d.path), '\\.(ts|tsx|js)$')
+    AND (c.inc IS NULL OR len(list_filter(c.inc, e ->
+           substr(d.path, length(p.dir) + 2) = e
+           OR substr(d.path, length(p.dir) + 2) LIKE e || '/%')) > 0)
+    AND (c.exc IS NULL OR len(list_filter(c.exc, e ->
+           substr(d.path, length(p.dir) + 2) = e
+           OR substr(d.path, length(p.dir) + 2) LIKE e || '/%')) = 0)
 ),
 tl AS (
   SELECT repo, path, project, rel,
@@ -1097,6 +1159,16 @@ syms AS (
          regexp_extract(l, ' get (_?\\w+)', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^  [\\w<>]+ get _?\\w+ =>')
   UNION ALL
+  -- class-level setters: DartProperty like getters (ast_visitor.dart:263-275)
+  SELECT repo, path, ln, 'DartProperty',
+         regexp_extract(l, '^  set (_?\\w+)\\(', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^  set _?\\w+\\(')
+  UNION ALL
+  -- top-level setters (ast_visitor.dart:230-241)
+  SELECT repo, path, ln, 'DartProperty',
+         regexp_extract(l, '^set (_?\\w+)\\(', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^set _?\\w+\\(')
+  UNION ALL
   SELECT repo, path, ln, 'DartOperator',
          regexp_extract(l, ' operator (\\S+)\\(', 1),
          'operator ' || regexp_extract(l, ' operator (\\S+)\\(', 1), prev
@@ -1108,7 +1180,7 @@ syms AS (
   SELECT repo, path, ln, 'DartMethod',
          regexp_extract(l, '^  [\\w<>]+ (_?\\w+)\\(', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^  [\\w<>]+ _?\\w+\\([^)]*\\)\\s*(\\{{|=>)')
-    AND NOT regexp_matches(l, ' operator | get ')
+    AND NOT regexp_matches(l, ' operator | get |^  set ')
   UNION ALL
   SELECT repo, path, ln, 'DartMixin', regexp_extract(l, '^mixin (\\w+)', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^mixin \\w+')
@@ -1126,7 +1198,7 @@ syms AS (
   SELECT repo, path, ln, 'DartFunction',
          regexp_extract(l, '^[\\w<>]+ (_?\\w+)\\(', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^[\\w<>]+ _?\\w+\\([^)]*\\)\\s*(\\{{|=>)')
-    AND NOT regexp_matches(l, '^(class|mixin|enum|extension|typedef|import|final|const)\\b')
+    AND NOT regexp_matches(l, '^(class|mixin|enum|extension|typedef|import|final|const|set)\\b')
   UNION ALL
   SELECT repo, path, ln, 'DartField',
          regexp_extract(l, '^(?:final|const) [\\w<>]+ (_?\\w+) =', 1), NULL, prev

@@ -28,7 +28,7 @@ from codegraph import canon, gitmeta, link
 from codegraph import schema as S
 from codegraph.extract import extract_records
 from codegraph.extract.dispatch import (attach_ts_projects, collect_pkg_meta,
-                                        scan_ts_projects)
+                                        scan_ts_configs, scan_ts_projects)
 from codegraph.schema import ACC_ORDER
 
 # ---------------------------------------------------------------------------
@@ -273,10 +273,12 @@ def run_pipeline(
         # an over-cap TS-project dim (None) switches to the Spark-side
         # path-prefix join instead of a driver dict
         ts_projects = scan_ts_projects(files_src)
+        ts_configs = scan_ts_configs(files_src) if ts_projects is not None else None
         pkg_meta = collect_pkg_meta(pkg_metadata)
         extract_src = (files_src if ts_projects is not None
                        else attach_ts_projects(files_src))
-        records = extract_records(extract_src, min_acc, ts_projects, pkg_meta)
+        records = extract_records(extract_src, min_acc, ts_projects, pkg_meta,
+                                  ts_configs=ts_configs)
         if persist:
             records = records.persist()
 

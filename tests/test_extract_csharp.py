@@ -273,3 +273,90 @@ def test_global_using_records():
     # both the file-level using mention AND the repo-wide global pool record
     assert ("using", "MyApp.Core") in kinds
     assert ("global_using", "MyApp.Core") in kinds
+
+
+def test_nullable_member_displays():
+    """Nullable value types survive in member displays (int? in the
+    CSharpErrorMessageFormat param list, SymbolMapper.cs:43-47) while type
+    deps strip the annotation (int? -> int, string? -> string)."""
+    src = (
+        "namespace MyApp.Core;\n"
+        "\n"
+        "public class Cache\n"
+        "{\n"
+        "    public int? Slot { get; set; }\n"
+        "    public string? Find(int? key)\n"
+        "    {\n"
+        "        return null;\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = _extract_one("r", "src/MyApp/Core/Cache.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    syms = {s["key"]: s for s in rows if s["rec"] == "symbol"}
+    assert "r:MyApp.Core.Cache.Slot" in syms
+    assert syms["r:MyApp.Core.Cache.Slot"]["kind"] == "Property"
+    assert "r:MyApp.Core.Cache.Find(int?)" in syms
+    rels = {(r["src_key"], r["rel_type"], r["dst_key"])
+            for r in rows if r["rec"] == "rel"}
+    # deps target the unannotated type keys (both dangle like any BCL type)
+    assert ("r:MyApp.Core.Cache", "src__DEPENDS_ON", "r:int") in rels
+    assert ("r:MyApp.Core.Cache", "src__DEPENDS_ON", "r:string") in rels
+    assert not any(d.endswith("int?") for _, _, d in rels)
+
+
+def test_expression_bodied_method():
+    """Arrow-bodied methods are IMethodSymbols and their expression body
+    participates in the INVOKES surface (RoslynSymbolProcessor kinds;
+    MemberDependencyExtractor.cs:77-230 walks arrow bodies too)."""
+    src = (
+        "namespace MyApp.Core;\n"
+        "\n"
+        "public class Meter\n"
+        "{\n"
+        "    public int Peek() => Grab();\n"
+        "    private int Grab()\n"
+        "    {\n"
+        "        return 1;\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = _extract_one("r", "src/MyApp/Core/Meter.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    syms = {s["key"]: s for s in rows if s["rec"] == "symbol"}
+    assert "r:MyApp.Core.Meter.Peek()" in syms
+    assert syms["r:MyApp.Core.Meter.Peek()"]["kind"] == "Method"
+    assert "r:MyApp.Core.Meter.Grab()" in syms
+    # the arrow body's own-type call emits an invoke mention
+    inv = [r for r in rows if r["rec"] == "mention" and r["m_kind"] == "invoke"
+           and r["m_name"] == "Grab"]
+    assert inv and inv[0]["m_nargs"] == 0
+
+
+def test_struct_and_record_types():
+    """struct/record declarations are BaseTypeDeclarationSyntax — processed
+    exactly like classes (RoslynSymbolProcessor.cs:101-112); only
+    syntax-declared members emit (no synthesized record members)."""
+    src = (
+        "namespace MyApp.Core;\n"
+        "\n"
+        "public struct Point\n"
+        "{\n"
+        "    public int X { get; set; }\n"
+        "}\n"
+        "public record Note\n"
+        "{\n"
+        "    public int Id { get; set; }\n"
+        "}\n"
+    )
+    rows = _extract_one("r", "src/MyApp/Core/Shapes.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    syms = {s["key"]: s for s in rows if s["rec"] == "symbol"}
+    assert syms["r:MyApp.Core.Point"]["kind"] == "NamedType"
+    assert syms["r:MyApp.Core.Note"]["kind"] == "NamedType"
+    assert syms["r:MyApp.Core.Point.X"]["kind"] == "Property"
+    assert syms["r:MyApp.Core.Note.Id"]["kind"] == "Property"
+    rels = {(r["src_key"], r["rel_type"], r["dst_key"])
+            for r in rows if r["rec"] == "rel"}
+    assert ("r:MyApp.Core.Point", "src__CONTAINS", "r:MyApp.Core.Point.X") in rels
+    assert ("r:MyApp.Core.Note", "src__CONTAINS", "r:MyApp.Core.Note.Id") in rels

@@ -399,6 +399,84 @@ def test_dart_annotations():
     assert by_name["Grams"]["kind"] == "DartExtensionType"
 
 
+def test_ts_tsconfig_file_selection():
+    """analyzer.ts:16-33: tsconfig include/exclude defines the TS program;
+    files outside it are never analyzed (symbols suppressed, file kept)."""
+    from codegraph.extract.tsdart import _norm_cfg_entry
+
+    assert _norm_cfg_entry("./src/**/*") == "src"
+    assert _norm_cfg_entry("src/**") == "src"
+    assert _norm_cfg_entry("src/") == "src"
+    assert _norm_cfg_entry("src/main.ts") == "src/main.ts"
+
+    ts_projects = {("r", "web"): "webapp"}
+    cfg = {("r", "web"): ('["src"]', '["src/legacy"]')}
+    kept = _extract_one("r", "web/src/widget.ts", TS, PRIV, ts_projects, {}, cfg)
+    assert _syms(kept)
+    outside = _extract_one("r", "web/scripts/tool.ts", TS, PRIV, ts_projects, {}, cfg)
+    assert not _syms(outside)
+    excluded = _extract_one("r", "web/src/legacy/old.ts", TS, PRIV, ts_projects, {}, cfg)
+    assert not _syms(excluded)
+    # no include key -> everything under the root minus exclude
+    cfg2 = {("r", "web"): (None, '["scripts"]')}
+    assert _syms(_extract_one("r", "web/src/widget.ts", TS, PRIV, ts_projects, {}, cfg2))
+    assert not _syms(_extract_one("r", "web/scripts/t.ts", TS, PRIV, ts_projects, {}, cfg2))
+    # no tsconfig at all -> unchanged
+    assert _syms(_extract_one("r", "web/src/widget.ts", TS, PRIV, ts_projects, {}, {}))
+
+
+DART_SETCALL = """class Counter {
+  int _n = 0;
+  int get n => _n;
+  set n(int v) { _n = v; }
+  void bump() {
+    final cb = makeHandler();
+    cb();
+    log.write(toString());
+    Counter();
+    refresh();
+    if (true) {}
+  }
+}
+set volume(int v) {}
+void main() {
+  final go = pick();
+  go();
+  Counter();
+  run();
+}
+"""
+
+
+def test_dart_setters_and_invocation_kinds():
+    """Setters are DartProperty on both levels (ast_visitor.dart:230-241,
+    263-275); invocation candidates carry the resolved-AST node's toKind
+    (ast_visitor.dart:431-485): MethodInvocation -> 'method' (with or
+    without target), local-function-variable call -> 'function'
+    (FunctionExpressionInvocation), uppercase bare -> 'constructor'
+    (InstanceCreationExpression); control keywords never emit."""
+    rows = _extract_one("r", "dart_app/lib/c.dart", DART_SETCALL, PRIV, {}, {})
+    syms = {s["key"]: s for s in _syms(rows)}
+    assert "dart_app/lib/c.dart:DartProperty:n:4" in syms  # class setter
+    assert "dart_app/lib/c.dart:DartProperty:volume:14" in syms  # top-level
+    rels = _rels(rows)
+    meth = "dart_app/lib/c.dart:method:bump"
+    assert (meth, "src__INVOKES", "dart_app/lib/c.dart:function:cb") in rels
+    assert (meth, "src__INVOKES", "dart_app/lib/c.dart:method:write") in rels
+    assert (meth, "src__INVOKES", "dart_app/lib/c.dart:constructor:Counter") in rels
+    assert (meth, "src__INVOKES", "dart_app/lib/c.dart:method:refresh") in rels
+    assert (meth, "src__INVOKES", "dart_app/lib/c.dart:method:makeHandler") in rels
+    fn = "dart_app/lib/c.dart:function:main"
+    assert (fn, "src__INVOKES", "dart_app/lib/c.dart:function:go") in rels
+    assert (fn, "src__INVOKES", "dart_app/lib/c.dart:constructor:Counter") in rels
+    assert (fn, "src__INVOKES", "dart_app/lib/c.dart:method:run") in rels
+    # control keywords never become callees
+    assert not any(d.endswith(":if") for _, _, d in rels)
+    # setter CONTAINS rides the class with toKind 'property'
+    assert ("dart_app/lib/c.dart:class:Counter:1", "src__CONTAINS",
+            "dart_app/lib/c.dart:property:n:4") in rels
+
+
 TS_EXTRAS = """import React from 'react';
 
 /** docs */

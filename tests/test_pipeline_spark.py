@@ -148,7 +148,9 @@ def test_ts_prefix_join_parity_with_broadcast_dict(spark, tiny_source, monkeypat
 
     src = discover(tiny_source)
     ts = dispatch.scan_ts_projects(src)
+    cfg = dispatch.scan_ts_configs(src)
     assert ts, "fixture must contain package.json projects"
+    assert cfg, "fixture must contain tsconfig.json file selection"
 
     monkeypatch.setattr(dispatch, "MAX_DIM_ROWS", 0)
     assert dispatch.scan_ts_projects(src) is None
@@ -156,7 +158,7 @@ def test_ts_prefix_join_parity_with_broadcast_dict(spark, tiny_source, monkeypat
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
-    base = dispatch.extract_records(src, 1, ts, {})
+    base = dispatch.extract_records(src, 1, ts, {}, ts_configs=cfg)
     joined = dispatch.extract_records(dispatch.attach_ts_projects(src), 1,
                                       None, {})
     assert rows(joined) == rows(base)
@@ -172,10 +174,19 @@ def test_ts_prefix_join_picks_nearest_ancestor(spark):
          ("r", "web/pkgs/inner/package.json", '{"name": "inner"}'),
          ("r", "web/src/a.ts", "export class A {}"),
          ("r", "web/pkgs/inner/src/b.ts", "export class B {}"),
-         ("r", "stray/c.ts", "export class C {}")],
+         ("r", "stray/c.ts", "export class C {}"),
+         ("r", "lib/package.json", '{"private": true}'),
+         ("r", "lib/src/d.ts", "export class D {}"),
+         ("r", "package.json", "{}"),
+         ("r", "rootfile.ts", "export class R {}")],
         "repo string, path string, content string")
     got = {r["path"]: (r["ts_project"], r["ts_project_dir"])
            for r in dispatch.attach_ts_projects(src).collect()}
     assert got["web/src/a.ts"] == ("outer", "web")
     assert got["web/pkgs/inner/src/b.ts"] == ("inner", "web/pkgs/inner")
-    assert got["stray/c.ts"] == (None, None)
+    # nameless package.json: analyzer.ts:56-68 falls back to basename(root),
+    # repo id at the repo root
+    assert got["lib/src/d.ts"] == ("lib", "lib")
+    assert got["rootfile.ts"] == ("r", "")
+    # the broadcast-dict scan applies the same fallback
+    assert dispatch.scan_ts_projects(src)[("r", "lib")] == "lib"
