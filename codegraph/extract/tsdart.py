@@ -503,6 +503,16 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
             cl = _line_of(content, boff + ctor.start())
             sym("DartConstructor", name, "constructor", cl, at=boff + ctor.start())
             em.rel(cls_tok, keys.text_key(file_key, "constructor", name, cl), R_CONTAINS)
+        # named constructors: display '$class.$name', accessibility from the
+        # SHORT name (ast_visitor.dart:319-345)
+        for nc in re.finditer(rf"^[ \t]+{name}\.(_?\w+)\s*\(", body, re.MULTILINE):
+            short = nc.group(1)
+            cl = _line_of(content, boff + nc.start())
+            ann = _dart_annotations_before(content, boff + nc.start())
+            disp = f"{name}.{short}"
+            sym("DartConstructor", disp, "constructor", cl,
+                acc=_dart_acc(short, ann))
+            em.rel(cls_tok, keys.text_key(file_key, "constructor", disp, cl), R_CONTAINS)
         for mm in _DART_METHOD_RE.finditer(body):
             mname = mm.group("name")
             if mname == name or mm.group("ret") in ("final", "const", "return",

@@ -649,6 +649,8 @@ def _render_dart(spec: dict) -> str:
 class Widget{i} extends Base with Mixy{i} implements IWidget{i} {{
   final Helper helper;
   Widget{i}(this.helper);
+  Widget{i}.wrap(this.helper);
+  Widget{i}._raw(this.helper);
   int get count => {i};
   set scale{i}(int v) {{}}
   Widget{i} operator +(Widget{i} other) => this;

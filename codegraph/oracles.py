@@ -851,10 +851,11 @@ ts_n AS (
   GROUP BY d.repo
 ),
 dart_n AS (
-  -- fixed per-file surface: class, field, ctor, getter, class setter,
-  -- operator, 4 methods (guard/probe/render/wire), mixin, enum, typedef,
-  -- extension type, function, top-level setter, top-level field = 17
-  SELECT repo, 17 * count(*) AS n
+  -- fixed per-file surface: class, field, ctor, 2 named ctors, getter,
+  -- class setter, operator, 4 methods (guard/probe/render/wire), mixin,
+  -- enum, typedef, extension type, function, top-level setter, top-level
+  -- field = 19
+  SELECT repo, 19 * count(*) AS n
   FROM discovered WHERE lower(path) LIKE '%.dart'
   GROUP BY repo
 ),
@@ -1177,6 +1178,13 @@ syms AS (
   SELECT repo, path, ln, 'DartConstructor', cls, NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^  \\w+\\(this\\.') AND regexp_extract(l, '^  (\\w+)\\(', 1) = cls
   UNION ALL
+  -- named constructors: display '$class.$name' (ast_visitor.dart:319-345)
+  SELECT repo, path, ln, 'DartConstructor',
+         regexp_extract(l, '^  (\\w+)\\.(_?\\w+)\\(', 1) || '.'
+           || regexp_extract(l, '^  (\\w+)\\.(_?\\w+)\\(', 2), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^  \\w+\\._?\\w+\\(this\\.')
+    AND regexp_extract(l, '^  (\\w+)\\.', 1) = cls
+  UNION ALL
   SELECT repo, path, ln, 'DartMethod',
          regexp_extract(l, '^  [\\w<>]+ (_?\\w+)\\(', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^  [\\w<>]+ _?\\w+\\([^)]*\\)\\s*(\\{{|=>)')
@@ -1209,7 +1217,8 @@ SELECT repo, path, kind, name,
        coalesce(fq, name) AS fqn,
        CASE WHEN prev LIKE '%@visibleForTesting%' THEN 'Internal'
             WHEN prev LIKE '%@protected%' THEN 'Protected'
-            WHEN name LIKE '\\_%' ESCAPE '\\' THEN 'Private'
+            -- named ctors: accessibility from the SHORT name
+            WHEN string_split(name, '.')[-1] LIKE '\\_%' ESCAPE '\\' THEN 'Private'
             ELSE 'Public' END AS accessibility,
        ln AS start_line
 FROM syms WHERE name IS NOT NULL AND name != ''"""

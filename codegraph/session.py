@@ -33,7 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 2048 measured ~2x faster than 4096 on the 59.7M-triple scaling
+        # corpus at local[8] (840.4 s -> 428.1 s; 1024/512 plateau ~600 s):
+        # source rows carry multi-KB file contents, so big Arrow batches
+        # inflate per-worker peak memory and thrash the VM's shared memory
+        # subsystem (tools/scale_exp.py for the measured matrix)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CODEGRAPH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

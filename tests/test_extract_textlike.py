@@ -506,3 +506,23 @@ def test_ts_setter_namespace_decorator():
     rels = _rels(rows)
     assert ("web/src/store.ts:class:Store:5", "src__HAS_TAG",
             "web/src/store.ts:decorator:Injectable") in rels
+
+
+def test_dart_named_constructors():
+    """ast_visitor.dart:319-345: named ctor display '$class.$name',
+    accessibility from the SHORT name."""
+    src = """class Vault {
+  final int size;
+  Vault(this.size);
+  Vault.wrap(this.size);
+  Vault._raw(this.size);
+}
+"""
+    rows = _extract_one("r", "dart_app/lib/v.dart", src, PRIV, {}, {})
+    by_name = {s["name"]: s for s in _syms(rows)}
+    assert by_name["Vault.wrap"]["kind"] == "DartConstructor"
+    assert by_name["Vault.wrap"]["accessibility"] == "Public"
+    assert by_name["Vault._raw"]["accessibility"] == "Private"
+    rels = _rels(rows)
+    assert ("dart_app/lib/v.dart:class:Vault:1", "src__CONTAINS",
+            "dart_app/lib/v.dart:constructor:Vault.wrap:4") in rels

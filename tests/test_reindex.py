@@ -17,7 +17,7 @@ def test_ts_generated_files_skipped():
     ts_projects = {("r", "web"): "webapp"}
     content = "export class X {\n}\n"
     for path in ("web/src/a.d.ts", "web/src/a.generated.ts",
-                 "web/dist/a.ts", "web/coverage/a.ts"):
+                 "web/dist/a.ts", "web/coverage/a.ts", "web/.nuxt/a.ts"):
         rows = _extract_one("r", path, content, 1, ts_projects, {})
         assert [r for r in rows if r["rec"] == "symbol"] == [], path
     rows = _extract_one("r", "web/src/a.ts", content, 1, ts_projects, {})

@@ -1,0 +1,73 @@
+"""One-off config experiments on the 8-core scaling leg (the red metric).
+
+Times the full KG pipeline over the scale_bench corpus at local[8] under
+shuffle/Arrow config variants, to find configs that relieve the VM's
+memory-bandwidth ceiling (BENCH/BASELINE.md). Results print one line per
+variant; adopt winners into codegraph/session.py defaults.
+
+Usage: python tools/scale_exp.py [n_repos cpf]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import log, run_kg_pipeline  # noqa: E402
+from codegraph import gen  # noqa: E402
+from codegraph.session import get_spark  # noqa: E402
+
+VARIANTS = [
+    ("arrow1024", {"spark.sql.execution.arrow.maxRecordsPerBatch": "1024"}),
+    ("arrow512", {"spark.sql.execution.arrow.maxRecordsPerBatch": "512"}),
+]
+
+# measured 2026-08-17 on the 96x640x16 corpus (59.7M triples), local[8]:
+#   baseline (arrow batch 4096): 840.4 s   71,063 triples/s
+#   zstd shuffle codec:          738.0 s   80,919 triples/s
+#   arrow batch 2048:            428.1 s  139,493 triples/s  <- adopted
+#   zstd + arrow 2048:           496.3 s  120,326 triples/s
+# (zstd's CPU cost loses once the Arrow batch shrink relieves the memory
+# pressure; smaller-batch probes below)
+
+
+def ensure_scale_fixture(n_repos: int, cpf: int) -> str:
+    scale_dir = os.path.join(gen.FIXTURE_ROOT, f"scale_bench_{n_repos}x{cpf}")
+    marker = os.path.join(scale_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(scale_dir, exist_ok=True)
+        log(f"scale_exp: generating fixture ({n_repos}x640x{cpf})")
+        s = get_spark(app_name="scale-exp-gen", cores=32)
+        gen.source_table(s, n_repos, 640, classes_per_file=cpf).write.mode(
+            "overwrite").parquet(os.path.join(scale_dir, "source_files.parquet"))
+        gen.commit_log_table(s, n_repos, 640).write.mode(
+            "overwrite").parquet(os.path.join(scale_dir, "commit_log.parquet"))
+        s.createDataFrame(gen.gen_assembly_refs_pdf(n_repos)).write.mode(
+            "overwrite").parquet(os.path.join(scale_dir, "assembly_refs.parquet"))
+        s.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
+            "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
+        s.stop()
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return scale_dir
+
+
+def main():
+    n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    cpf = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    scale_dir = ensure_scale_fixture(n_repos, cpf)
+    for name, conf in VARIANTS:
+        s = get_spark(app_name=f"scale-exp-{name}", cores=8, extra_conf=conf)
+        t0 = time.time()
+        nn, ne = run_kg_pipeline(s, scale_dir)
+        dt = time.time() - t0
+        print(f"RESULT {name}: {dt:.1f}s {(nn + ne) / dt:.0f} triples/s "
+              f"({nn + ne} triples)", flush=True)
+        s.stop()
+
+
+if __name__ == "__main__":
+    main()
