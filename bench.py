@@ -123,13 +123,26 @@ def main():
     log(f"bench: kg_pipeline {n_nodes} nodes + {n_edges} edges in {t:.1f}s "
         f"-> {triples_per_sec} triples/s")
 
-    # headline 2-7: training-data + relational operators on the driver tables
+    # drop the pipeline's persisted tables and nudge the ContextCleaner so
+    # its shuffle files (spark.local.dir = tmpfs -> RAM) release before the
+    # small queries are timed — the leftover state otherwise degrades them
+    # more each round as the corpus grows
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+    # headline 2-7: training-data + relational operators on the driver
+    # tables; best-of-2 per query (1-5 s jobs are exposed to window noise)
     qs = E.queries()
     for name in ("doc_minhash_lsh", "doc_simhash", "doc_langid",
                  "emb_cosine_topk", "rel_broadcast_join", "rel_groupby_stats"):
-        t, _ = timed(lambda: qs[name](spark, sf_dir).count())
+        t1, _ = timed(lambda: qs[name](spark, sf_dir).count())
+        t2, _ = timed(lambda: qs[name](spark, sf_dir).count())
+        t = min(t1, t2)
         queries[name] = round(t, 3)
-        log(f"bench: {name} {t:.2f}s")
+        log(f"bench: {name} {t:.2f}s (windows {t1:.2f}/{t2:.2f})")
 
     scaling = None
     scaling_hi = None

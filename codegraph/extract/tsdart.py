@@ -421,6 +421,95 @@ def _dart_annotations_before(content: str, idx: int) -> str:
     return " ".join(names)
 
 
+def _dart_body(content: str, from_idx: int, consumed_brace: bool = False):
+    """Brace-matched declaration body starting at/after ``from_idx``.
+    Returns (body, body_offset); empty body when no brace follows."""
+    if consumed_brace:
+        start = from_idx
+    else:
+        b = content.find("{", from_idx)
+        if b < 0:
+            return "", from_idx
+        start = b + 1
+    depth = 1
+    j = start
+    while j < len(content) and depth > 0:
+        if content[j] == "{":
+            depth += 1
+        elif content[j] == "}":
+            depth -= 1
+        j += 1
+    return content[start:j], start
+
+
+def _make_dart_member_walk(em: Emitter, content: str, file_key: str, sym):
+    """Member scan shared by class/mixin/extension bodies: the reference
+    sets _currentClass for all three, so fields/getters/setters/operators/
+    methods emit identically (ast_visitor.dart:51-177, 213-316)."""
+
+    def walk(body: str, boff: int, name: str, owner_tok: str,
+             allow_ctor: bool) -> None:
+        for fm in _DART_FIELD_RE.finditer(body):
+            fl = _line_of(content, boff + fm.start())
+            sym("DartField", fm.group("name"), "field", fl, at=boff + fm.start())
+            em.rel(owner_tok, keys.text_key(file_key, "field", fm.group("name"), fl), R_CONTAINS)
+            em.rel(owner_tok, keys.text_key(file_key, "class", fm.group("type")), R_DEPENDS_ON)
+        for gm in _DART_GETTER_RE.finditer(body):
+            gl = _line_of(content, boff + gm.start())
+            sym("DartProperty", gm.group("name"), "property", gl, at=boff + gm.start())
+            em.rel(owner_tok, keys.text_key(file_key, "property", gm.group("name"), gl), R_CONTAINS)
+        # setters are DartProperty too (ast_visitor.dart:263-275: isGetter
+        # OR isSetter -> kind DartProperty, CONTAINS toKind 'property')
+        for sm in _DART_SETTER_RE.finditer(body):
+            sl = _line_of(content, boff + sm.start())
+            sym("DartProperty", sm.group("name"), "property", sl, at=boff + sm.start())
+            em.rel(owner_tok, keys.text_key(file_key, "property", sm.group("name"), sl), R_CONTAINS)
+        # operator declarations (ast_visitor.dart:276-288): kind
+        # DartOperator, fqn 'operator <op>'
+        for om in _DART_OPERATOR_RE.finditer(body):
+            ol = _line_of(content, boff + om.start())
+            op = om.group("op")
+            sym("DartOperator", op, "operator", ol, at=boff + om.start(),
+                fqn=f"operator {op}")
+            em.rel(owner_tok, keys.text_key(file_key, "operator", op, ol), R_CONTAINS)
+        if allow_ctor:
+            ctor = re.search(rf"^[ \t]+{name}\s*\(", body, re.MULTILINE)
+            if ctor:
+                cl = _line_of(content, boff + ctor.start())
+                sym("DartConstructor", name, "constructor", cl, at=boff + ctor.start())
+                em.rel(owner_tok, keys.text_key(file_key, "constructor", name, cl), R_CONTAINS)
+            # named constructors: display '$class.$name', accessibility from
+            # the SHORT name (ast_visitor.dart:319-345)
+            for nc in re.finditer(rf"^[ \t]+{name}\.(_?\w+)\s*\(", body, re.MULTILINE):
+                short = nc.group(1)
+                cl = _line_of(content, boff + nc.start())
+                ann = _dart_annotations_before(content, boff + nc.start())
+                disp = f"{name}.{short}"
+                sym("DartConstructor", disp, "constructor", cl,
+                    acc=_dart_acc(short, ann))
+                em.rel(owner_tok, keys.text_key(file_key, "constructor", disp, cl), R_CONTAINS)
+        for mm in _DART_METHOD_RE.finditer(body):
+            mname = mm.group("name")
+            if mname == name or mm.group("ret") in ("final", "const", "return",
+                                                    "get", "set"):
+                continue
+            ml = _line_of(content, boff + mm.start())
+            sym("DartMethod", mname, "method", ml, at=boff + mm.start())
+            mtok = keys.text_key(file_key, "method", mname, ml)
+            em.rel(owner_tok, mtok, R_CONTAINS)
+            stmt_end = body.find("}", mm.end())
+            stmt = body[mm.end():stmt_end if stmt_end > 0 else len(body)]
+            fn_locals = set(_DART_LOCAL_FN_RE.findall(stmt))
+            for c in _DART_INVOKE_RE.finditer(stmt):
+                kind = _dart_call_kind(c.group(2), bool(c.group(1)), fn_locals)
+                if kind is None:
+                    continue
+                em.rel(keys.text_key(file_key, "method", mname),
+                       keys.text_key(file_key, kind, c.group(2)), R_INVOKES)
+
+    return walk
+
+
 def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
                  min_acc: int) -> None:
     ns = keys.dir_namespace(em.path)
@@ -463,84 +552,38 @@ def extract_dart(em: Emitter, content: str, repo: str, file_key: str,
         for t in heritage:
             em.rel(cls_tok, keys.text_key(file_key, "class", t), R_DEPENDS_ON)
 
-        body_start = m.end()
-        depth = 1
-        j = body_start
-        while j < len(content) and depth > 0:
-            if content[j] == "{":
-                depth += 1
-            elif content[j] == "}":
-                depth -= 1
-            j += 1
-        body = content[body_start:j]
-        boff = body_start
+        body, boff = _dart_body(content, m.end(), consumed_brace=True)
+        walk_members = _make_dart_member_walk(em, content, file_key, sym)
+        walk_members(body, boff, name, cls_tok, allow_ctor=True)
 
-        for fm in _DART_FIELD_RE.finditer(body):
-            fl = _line_of(content, boff + fm.start())
-            sym("DartField", fm.group("name"), "field", fl, at=boff + fm.start())
-            em.rel(cls_tok, keys.text_key(file_key, "field", fm.group("name"), fl), R_CONTAINS)
-            em.rel(cls_tok, keys.text_key(file_key, "class", fm.group("type")), R_DEPENDS_ON)
-        for gm in _DART_GETTER_RE.finditer(body):
-            gl = _line_of(content, boff + gm.start())
-            sym("DartProperty", gm.group("name"), "property", gl, at=boff + gm.start())
-            em.rel(cls_tok, keys.text_key(file_key, "property", gm.group("name"), gl), R_CONTAINS)
-        # setters are DartProperty too (ast_visitor.dart:263-275: isGetter
-        # OR isSetter -> kind DartProperty, CONTAINS toKind 'property')
-        for sm in _DART_SETTER_RE.finditer(body):
-            sl = _line_of(content, boff + sm.start())
-            sym("DartProperty", sm.group("name"), "property", sl, at=boff + sm.start())
-            em.rel(cls_tok, keys.text_key(file_key, "property", sm.group("name"), sl), R_CONTAINS)
-        # operator declarations (ast_visitor.dart:276-288): kind
-        # DartOperator, fqn 'operator <op>'
-        for om in _DART_OPERATOR_RE.finditer(body):
-            ol = _line_of(content, boff + om.start())
-            op = om.group("op")
-            sym("DartOperator", op, "operator", ol, at=boff + om.start(),
-                fqn=f"operator {op}")
-            em.rel(cls_tok, keys.text_key(file_key, "operator", op, ol), R_CONTAINS)
-        ctor = re.search(rf"^[ \t]+{name}\s*\(", body, re.MULTILINE)
-        if ctor:
-            cl = _line_of(content, boff + ctor.start())
-            sym("DartConstructor", name, "constructor", cl, at=boff + ctor.start())
-            em.rel(cls_tok, keys.text_key(file_key, "constructor", name, cl), R_CONTAINS)
-        # named constructors: display '$class.$name', accessibility from the
-        # SHORT name (ast_visitor.dart:319-345)
-        for nc in re.finditer(rf"^[ \t]+{name}\.(_?\w+)\s*\(", body, re.MULTILINE):
-            short = nc.group(1)
-            cl = _line_of(content, boff + nc.start())
-            ann = _dart_annotations_before(content, boff + nc.start())
-            disp = f"{name}.{short}"
-            sym("DartConstructor", disp, "constructor", cl,
-                acc=_dart_acc(short, ann))
-            em.rel(cls_tok, keys.text_key(file_key, "constructor", disp, cl), R_CONTAINS)
-        for mm in _DART_METHOD_RE.finditer(body):
-            mname = mm.group("name")
-            if mname == name or mm.group("ret") in ("final", "const", "return",
-                                                    "get", "set"):
-                continue
-            ml = _line_of(content, boff + mm.start())
-            sym("DartMethod", mname, "method", ml, at=boff + mm.start())
-            mtok = keys.text_key(file_key, "method", mname, ml)
-            em.rel(cls_tok, mtok, R_CONTAINS)
-            stmt_end = body.find("}", mm.end())
-            stmt = body[mm.end():stmt_end if stmt_end > 0 else len(body)]
-            fn_locals = set(_DART_LOCAL_FN_RE.findall(stmt))
-            for c in _DART_INVOKE_RE.finditer(stmt):
-                kind = _dart_call_kind(c.group(2), bool(c.group(1)), fn_locals)
-                if kind is None:
-                    continue
-                em.rel(keys.text_key(file_key, "method", mname),
-                       keys.text_key(file_key, kind, c.group(2)), R_INVOKES)
-
+    # mixins and extensions set _currentClass in the reference, so their
+    # members emit exactly like class members (ast_visitor.dart:113-177)
     for m in _DART_MIXIN_RE.finditer(content):
-        sym("DartMixin", m.group("name"), "mixin", _line_of(content, m.start()),
-            at=m.start())
+        name = m.group("name")
+        line = _line_of(content, m.start())
+        sym("DartMixin", name, "mixin", line, at=m.start())
+        body, boff = _dart_body(content, m.end())
+        _make_dart_member_walk(em, content, file_key, sym)(
+            body, boff, name, keys.text_key(file_key, "mixin", name, line),
+            allow_ctor=False)
+    # enhanced enums: constants never emit (no EnumConstantDeclaration
+    # visitor) but methods inside the body do (_currentClass = enum name)
     for m in _DART_ENUM_RE.finditer(content):
-        sym("DartEnum", m.group("name"), "enum", _line_of(content, m.start()),
-            at=m.start())
+        name = m.group("name")
+        line = _line_of(content, m.start())
+        sym("DartEnum", name, "enum", line, at=m.start())
+        body, boff = _dart_body(content, m.end())
+        _make_dart_member_walk(em, content, file_key, sym)(
+            body, boff, name, keys.text_key(file_key, "enum", name, line),
+            allow_ctor=False)
     for m in _DART_EXT_RE.finditer(content):
-        sym("DartExtension", m.group("name"), "extension", _line_of(content, m.start()),
-            at=m.start())
+        name = m.group("name")
+        line = _line_of(content, m.start())
+        sym("DartExtension", name, "extension", line, at=m.start())
+        body, boff = _dart_body(content, m.end())
+        _make_dart_member_walk(em, content, file_key, sym)(
+            body, boff, name, keys.text_key(file_key, "extension", name, line),
+            allow_ctor=False)
     # extension types (ast_visitor.dart:181-200)
     for m in _DART_EXTTYPE_RE.finditer(content):
         sym("DartExtensionType", m.group("name"), "extensiontype",

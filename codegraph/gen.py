@@ -661,9 +661,17 @@ class Widget{i} extends Base with Mixy{i} implements IWidget{i} {{
   void render() {{ helper.fix(); }}
   void wire{i}() {{ final cb{i} = pick{i}(); cb{i}(); Widget{i}(helper); refresh{i}(); }}
 }}
-mixin Mixy{i} {{}}
-enum Mode{i} {{ alpha, beta }}
+mixin Mixy{i} {{
+  void mix{i}() {{ render(); }}
+}}
+enum Mode{i} {{
+  alpha, beta;
+  int rank{i}() => {i};
+}}
 typedef Handler{i} = void Function();
+extension Longer{i} on String {{
+  int twice{i}() => {i};
+}}
 extension type Meters{i}(int v) {{}}
 void {priv}main{i}() {{ render(); }}
 set volume{i}(int v) {{}}

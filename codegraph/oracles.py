@@ -852,10 +852,11 @@ ts_n AS (
 ),
 dart_n AS (
   -- fixed per-file surface: class, field, ctor, 2 named ctors, getter,
-  -- class setter, operator, 4 methods (guard/probe/render/wire), mixin,
-  -- enum, typedef, extension type, function, top-level setter, top-level
-  -- field = 19
-  SELECT repo, 19 * count(*) AS n
+  -- class setter, operator, 4 methods (guard/probe/render/wire), mixin +
+  -- mixin method, enum + enum method, typedef, extension + extension
+  -- method, extension type, function, top-level setter, top-level
+  -- field = 23
+  SELECT repo, 23 * count(*) AS n
   FROM discovered WHERE lower(path) LIKE '%.dart'
   GROUP BY repo
 ),
@@ -1192,6 +1193,11 @@ syms AS (
   UNION ALL
   SELECT repo, path, ln, 'DartMixin', regexp_extract(l, '^mixin (\\w+)', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^mixin \\w+')
+  UNION ALL
+  -- plain extensions (ast_visitor.dart:158-177); their members emit via the
+  -- shared 2-indent member rules exactly like class members
+  SELECT repo, path, ln, 'DartExtension', regexp_extract(l, '^extension (\\w+) on ', 1), NULL, prev
+  FROM dl2 WHERE regexp_matches(l, '^extension \\w+ on ')
   UNION ALL
   SELECT repo, path, ln, 'DartEnum', regexp_extract(l, '^enum (\\w+)', 1), NULL, prev
   FROM dl2 WHERE regexp_matches(l, '^enum \\w+')

@@ -33,11 +33,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 2048 measured ~2x faster than 4096 on the 59.7M-triple scaling
-        # corpus at local[8] (840.4 s -> 428.1 s; 1024/512 plateau ~600 s):
-        # source rows carry multi-KB file contents, so big Arrow batches
-        # inflate per-worker peak memory and thrash the VM's shared memory
-        # subsystem (tools/scale_exp.py for the measured matrix)
+        # 2048 vs 4096 is a wash once windows are PAIRED (A/B/A/B at sf0.1:
+        # 22.2 s vs 22.5 s warm; an initial unpaired sweep suggesting 2x was
+        # an ordering artifact - the first leg in a session sequence pays a
+        # ~2x cold penalty on this host). 2048 kept: never slower in any
+        # paired window, and smaller batches bound per-worker peak memory
+        # when source rows carry multi-KB contents
+        # (tools/scale_exp.py + /tmp paired runs, BENCH/BASELINE.md)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CODEGRAPH_DRIVER_MEM", "48g"))

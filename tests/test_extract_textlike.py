@@ -526,3 +526,26 @@ def test_dart_named_constructors():
     rels = _rels(rows)
     assert ("dart_app/lib/v.dart:class:Vault:1", "src__CONTAINS",
             "dart_app/lib/v.dart:constructor:Vault.wrap:4") in rels
+
+
+def test_dart_mixin_extension_members():
+    """Mixins/extensions set _currentClass in the reference, so members
+    inside them emit like class members (ast_visitor.dart:113-177)."""
+    src = """mixin Lockable {
+  void lock() { engage(); }
+}
+extension Longer on String {
+  int twice() => 2;
+}
+"""
+    rows = _extract_one("r", "dart_app/lib/m.dart", src, PRIV, {}, {})
+    syms = {s["key"]: s for s in _syms(rows)}
+    assert "dart_app/lib/m.dart:DartMixin:Lockable:1" in syms
+    assert "dart_app/lib/m.dart:DartMethod:lock:2" in syms
+    assert "dart_app/lib/m.dart:DartExtension:Longer:4" in syms
+    assert "dart_app/lib/m.dart:DartMethod:twice:5" in syms
+    rels = _rels(rows)
+    assert ("dart_app/lib/m.dart:mixin:Lockable:1", "src__CONTAINS",
+            "dart_app/lib/m.dart:method:lock:2") in rels
+    assert ("dart_app/lib/m.dart:extension:Longer:4", "src__CONTAINS",
+            "dart_app/lib/m.dart:method:twice:5") in rels

@@ -25,13 +25,21 @@ VARIANTS = [
     ("arrow512", {"spark.sql.execution.arrow.maxRecordsPerBatch": "512"}),
 ]
 
-# measured 2026-08-17 on the 96x640x16 corpus (59.7M triples), local[8]:
+# measured 2026-08-17 on the 96x640x16 corpus (59.7M triples), local[8],
+# SEQUENTIAL windows (one leg after another, NOT paired):
 #   baseline (arrow batch 4096): 840.4 s   71,063 triples/s
 #   zstd shuffle codec:          738.0 s   80,919 triples/s
-#   arrow batch 2048:            428.1 s  139,493 triples/s  <- adopted
+#   arrow batch 2048:            428.1 s  139,493 triples/s
 #   zstd + arrow 2048:           496.3 s  120,326 triples/s
-# (zstd's CPU cost loses once the Arrow batch shrink relieves the memory
-# pressure; smaller-batch probes below)
+#   arrow 1024 / 512:            596.5 s / 603.5 s
+# CAVEAT established by a later PAIRED A/B/A/B at sf0.1 local[32]
+# (4096: 46.5 s cold / 22.5 s warm; 2048: 24.3 s / 22.2 s): the first leg
+# of a session sequence pays a ~2x cold penalty on this host, so the
+# sequential sweep above overstates arrow-2048 (which ran third). Warm and
+# paired, 2048 vs 4096 is a wash; 2048 stays the session default because it
+# never measured slower and bounds per-worker peak memory. Same-config legs
+# 40 min apart also swung 845 s vs 597 s - only paired or best-of-N windows
+# are meaningful on this host.
 
 
 def ensure_scale_fixture(n_repos: int, cpf: int) -> str:
