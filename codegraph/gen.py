@@ -624,6 +624,8 @@ import React from 'react';
 @Component()
 export {abstract}class Widget{i} extends Base implements IWidget{i} {{
   private count: number = 0;
+  protected flag{i}: boolean = false;
+  readonly limit{i}: number = {i};
   constructor() {{ super(); }}
   get title(): string {{ return 't{i}'; }}
   set title(v: string) {{ this.count = {i}; }}

@@ -835,9 +835,10 @@ tsd_cfg AS (
 ),
 ts_n AS (
   -- one symbol per kind-rule match; the generated TS template has a fixed
-  -- per-file surface: class, field, ctor, get+set property (2), method,
-  -- interface, enum, alias, function, arrow function, namespace = 12
-  SELECT d.repo, 12 * count(*) AS n
+  -- per-file surface: class, 3 fields (private/protected/readonly), ctor,
+  -- get+set property (2), method, interface, enum, alias, function, arrow
+  -- function, namespace = 14
+  SELECT d.repo, 14 * count(*) AS n
   FROM discovered d
   JOIN tsd p ON d.repo = p.repo AND d.path LIKE p.dir || '/%'
   LEFT JOIN tsd_cfg c ON d.repo = c.repo AND p.dir = c.dir
@@ -1088,9 +1089,11 @@ syms AS (
          regexp_extract(l, 'class (\\w+)', 1) AS name, NULL AS cls
   FROM tl WHERE regexp_matches(l, '^export (abstract )?class \\w+')
   UNION ALL
+  -- fields: any visibility modifier (getAccessibility defaults Public),
+  -- optional readonly (visitor.ts:279-300 handleProperty)
   SELECT repo, path, project, rel, ln, 'TypeScriptField',
-         regexp_extract(l, '^  private (\\w+):', 1), cls
-  FROM tl WHERE regexp_matches(l, '^  private \\w+: ')
+         regexp_extract(l, '^  (?:(?:private|protected|public) )?(?:readonly )?(\\w+):', 1), cls
+  FROM tl WHERE regexp_matches(l, '^  ((private|protected|public) )?(readonly )?\\w+: ')
   UNION ALL
   SELECT repo, path, project, rel, ln, 'TypeScriptConstructor', 'constructor', cls
   FROM tl WHERE regexp_matches(l, '^  constructor\\(')
