@@ -84,7 +84,7 @@ def _fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ensure_bench_fixture(spark: SparkSession) -> str:
     out = os.path.join(gen.FIXTURE_ROOT, "sf0.1")
     marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
+    if not gen.fixture_current(marker):
         n_repos, fpr = gen.SF_SPECS["sf0.1"]
         os.makedirs(out, exist_ok=True)
         gen.source_table(spark, n_repos, fpr).write.mode("overwrite").parquet(
@@ -95,8 +95,7 @@ def _ensure_bench_fixture(spark: SparkSession) -> str:
             "overwrite").parquet(os.path.join(out, "assembly_refs.parquet"))
         spark.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
             "overwrite").parquet(os.path.join(out, "pkg_metadata.parquet"))
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        gen.write_fixture_marker(marker)
     return out
 
 

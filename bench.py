@@ -92,9 +92,15 @@ def run_cpu_control(spark, rows: int = 60_000, repeats: int = 3) -> float:
 
 
 def main():
+    t_start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = os.path.basename(sf_dir.rstrip("/"))
+    # total wall-clock budget for the WHOLE bench run: the round-3 official
+    # bench died rc=124 because the full symmetric scaling matrix on the big
+    # corpus outran the driver timeout. Legs are skipped (and recorded as
+    # partial) rather than letting the harness kill the run with no record.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as E
@@ -150,17 +156,25 @@ def main():
         # Two-parallelism scaling evidence (N=2 -> 4N=8 executors stand-in).
         # The corpus must be heavy enough that parallel work dominates the
         # job's fixed critical path (~60-90 s of stage scheduling/codegen/
-        # python-worker spin-up measured on this VM): 96 repos x 640 files
-        # x 16 C# classes/file -> ~50M triples, ~2.4k core-seconds of work.
-        # Both legs are exposed to the host's up-to-4x window variance, so
-        # BOTH run twice and the best window counts on BOTH sides — a
-        # symmetric best-of-2 (an asymmetric min on one side would bias the
-        # recorded efficiency; see ADVICE r2 / BENCH/BASELINE.md).
-        n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS", "96"))
-        cpf = int(os.environ.get("SPARK_GRAFT_SCALE_CPF", "16"))
+        # python-worker spin-up measured on this VM), but small enough that
+        # the leg matrix finishes inside the driver's time budget: default
+        # 48 repos x 640 files x 8 C# classes/file (~1/4 of the round-3
+        # corpus that timed the official bench out). The full matrix (the
+        # r3 corpus + a local[cpus] leg) sits behind SPARK_GRAFT_SCALE_FULL.
+        # Both sides of the ratio are exposed to the host's up-to-4x window
+        # variance, so legs run [8,2,8,2] and the best window counts on BOTH
+        # sides (symmetric best-of-2, ADVICE r2); the budget guard below
+        # skips remaining legs — recording a partial block — instead of
+        # letting the harness kill the run with no record at all (the r3
+        # failure mode).
+        full = bool(os.environ.get("SPARK_GRAFT_SCALE_FULL"))
+        n_repos = int(os.environ.get("SPARK_GRAFT_SCALE_REPOS",
+                                     "96" if full else "48"))
+        cpf = int(os.environ.get("SPARK_GRAFT_SCALE_CPF",
+                                 "16" if full else "8"))
         scale_dir = os.path.join(gen.FIXTURE_ROOT, f"scale_bench_{n_repos}x{cpf}")
         marker = os.path.join(scale_dir, "_DONE")
-        if not os.path.exists(marker):
+        if not gen.fixture_current(marker):
             os.makedirs(scale_dir, exist_ok=True)
             log(f"bench: generating scale fixture ({n_repos}x640x{cpf})")
             gen.source_table(spark, n_repos, 640, classes_per_file=cpf).write.mode(
@@ -171,33 +185,62 @@ def main():
                 "overwrite").parquet(os.path.join(scale_dir, "assembly_refs.parquet"))
             spark.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
                 "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
-            with open(marker, "w") as f:
-                f.write("ok\n")
+            gen.write_fixture_marker(marker)
         spark.stop()
         legs = [8, 2, 8, 2]
-        if os.environ.get("SPARK_GRAFT_SCALE_FULL") and cpus > 8:
+        if full and cpus > 8:
             legs.append(cpus)
         thr = {}
         ctl = {}
+        wall = {}  # last measured wall per core count, for the budget guard
+        legs_run = 0
         for n in legs:
+            # estimate this leg's wall from measured walls: same-core leg
+            # repeats at its measured wall; an unmeasured 2-core leg is
+            # priced at 2x the 8-core wall (measured ratio ~1.7 on this
+            # host); a first 8-core leg gets a nominal floor so the guard
+            # cannot skip the whole block.
+            est = wall.get(n) or (2.0 * wall.get(8, 90.0) if n == 2
+                                  else wall.get(8, 60.0))
+            elapsed = time.time() - t_start
+            if elapsed + est > budget:
+                log(f"bench: budget guard: {elapsed:.0f}s elapsed + ~{est:.0f}s "
+                    f"leg > {budget:.0f}s budget — skipping remaining legs "
+                    f"({len(legs) - legs_run} of {len(legs)} unrun)")
+                break
             s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
-            t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
-            thr[n] = max(thr.get(n, 0.0), (nn + ne) / t)
-            log(f"bench: scaling local[{n}] -> {t:.1f}s, {(nn + ne) / t:.0f} triples/s")
-            tc = run_cpu_control(s)
-            ctl[n] = max(ctl.get(n, 0.0), 1.0 / tc)
-            log(f"bench: control local[{n}] -> {tc:.1f}s")
-            s.stop()
-        efficiency = round((thr[8] / thr[2]) / 4.0, 3)
-        scaling = {"cores_lo": 2, "cores_hi": 8,
-                   "thr_lo": round(thr[2], 1), "thr_hi": round(thr[8], 1),
-                   "efficiency": efficiency,
-                   # same-session compute-bound control (sha2 fold): isolates
-                   # the harness/topology from the host's memory ceiling
-                   "control_efficiency": round((ctl[8] / ctl[2]) / 4.0, 3)}
-        log(f"bench: scaling efficiency (2->8) {efficiency}, "
-            f"control {scaling['control_efficiency']}")
-        if cpus in thr and cpus != 8:
+            try:
+                t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
+                thr[n] = max(thr.get(n, 0.0), (nn + ne) / t)
+                wall[n] = t
+                log(f"bench: scaling local[{n}] -> {t:.1f}s, "
+                    f"{(nn + ne) / t:.0f} triples/s")
+                tc = run_cpu_control(s)
+                ctl[n] = max(ctl.get(n, 0.0), 1.0 / tc)
+                log(f"bench: control local[{n}] -> {tc:.1f}s")
+            finally:
+                s.stop()
+            legs_run += 1
+        if 8 in thr and 2 in thr:
+            efficiency = round((thr[8] / thr[2]) / 4.0, 3)
+            scaling = {"cores_lo": 2, "cores_hi": 8,
+                       "thr_lo": round(thr[2], 1), "thr_hi": round(thr[8], 1),
+                       "efficiency": efficiency,
+                       "corpus": f"{n_repos}x640x{cpf}",
+                       "legs_run": legs_run, "legs_planned": len(legs)}
+            if 8 in ctl and 2 in ctl:
+                # same-session compute-bound control (sha2 fold): isolates
+                # the harness/topology from the host's memory ceiling
+                scaling["control_efficiency"] = round((ctl[8] / ctl[2]) / 4.0, 3)
+            log(f"bench: scaling efficiency (2->8) {efficiency}, "
+                f"control {scaling.get('control_efficiency')}")
+        elif thr:
+            scaling = {"partial": True, "corpus": f"{n_repos}x640x{cpf}",
+                       "legs_run": legs_run, "legs_planned": len(legs),
+                       "thr": {str(k): round(v, 1) for k, v in thr.items()}}
+            log("bench: scaling partial — not enough legs for an efficiency "
+                f"ratio ({legs_run}/{len(legs)})")
+        if cpus in thr and cpus != 8 and 8 in thr:
             eff_hi = round((thr[cpus] / thr[8]) / (cpus / 8.0), 3)
             scaling_hi = {"cores_lo": 8, "cores_hi": cpus,
                           "thr_lo": round(thr[8], 1),

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import posixpath
 
+import pandas as pd
+
 from codegraph import keys
 from codegraph.extract import csharp as cs
 from codegraph.extract import textlike as tl
@@ -255,15 +257,81 @@ def attach_ts_projects(source_df):
     return source_df.join(resolved, ["repo", "path"], "left")
 
 
-def collect_pkg_meta(pkg_metadata) -> dict:
+def collect_pkg_meta(pkg_metadata) -> dict | None:
     """Collect the package-metadata dim (nuspec/npm lookups) with a bounded
-    row cap; callers broadcast the result via ``extract_records``."""
+    row cap; callers broadcast the result via ``extract_records``.
+
+    Returns ``None`` when the dim exceeds MAX_DIM_ROWS: the dim then never
+    reaches the driver — callers extract with an empty dict and derive the
+    URL records Spark-side via ``pkg_urls_via_join`` (mirroring the
+    ``attach_ts_projects`` large-dim fallback)."""
     if pkg_metadata is None:
         return {}
     rows = pkg_metadata.limit(MAX_DIM_ROWS + 1).collect()
     if len(rows) > MAX_DIM_ROWS:
-        raise RuntimeError(
-            f"pkg-metadata dim exceeds {MAX_DIM_ROWS} rows; stage it as a "
-            "join against the dependency table instead of a broadcast dict")
+        return None
     return {(r["source"], r["pkg"]): (r["homepage"], r["repository"],
                                       r["project_url"]) for r in rows}
+
+
+def pkg_urls_via_join(records, pkg_metadata):
+    """Large-dim twin of the in-UDF nuspec/npm URL emission
+    (``textlike.extract_csproj`` / ``extract_packagejson``, reference
+    CsprojHandler.cs:139-201 + PackageJsonHandler.cs:125-228): when the
+    package-metadata dim exceeds MAX_DIM_ROWS it never reaches the driver —
+    URL records are instead derived by joining the extracted Dependency
+    symbol rows against the metadata table on (source, pkg). Both sides
+    partition on the join key; no driver collect, no broadcast.
+
+    Emission parity with the dict path:
+      * csproj deps (source 'nuspec'): URLs only when the PackageReference
+        carried a Version; project_url then repository, both raw.
+      * package.json deps (source 'npm'): homepage (trimmed, non-empty)
+        raw; repository through the 15-rule normalization — a pandas UDF
+        over the join output (dim-sized, not corpus-sized).
+    Returns (repo, url_dep_key, url_key, url_name) rows; the caller unions
+    them into the url record stream, where the downstream ``.distinct()``
+    collapses multi-file duplicates exactly like emitter-path rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from codegraph import keys as K
+
+    deps = (
+        records
+        .filter((F.col("rec") == "symbol") & (F.col("kind") == "Dependency")
+                & F.col("lang").isin("csproj", "packagejson"))
+        .select("repo", F.col("key").alias("url_dep_key"),
+                F.col("name").alias("pkg_name"), "version",
+                F.when(F.col("lang") == "csproj", F.lit("nuspec"))
+                .otherwise(F.lit("npm")).alias("pkg_source"))
+        .dropDuplicates(["repo", "url_dep_key", "pkg_source", "version"]))
+    meta = pkg_metadata.select(F.col("source").alias("pkg_source"),
+                               F.col("pkg").alias("pkg_name"),
+                               "homepage", "repository", "project_url")
+    j = deps.join(meta, ["pkg_source", "pkg_name"], "inner")
+
+    @pandas_udf("string")
+    def _norm_repo(urls: pd.Series) -> pd.Series:
+        return urls.map(K.normalize_repository_url)
+
+    nuspec = j.filter((F.col("pkg_source") == "nuspec")
+                      & F.col("version").isNotNull())
+    npm = j.filter(F.col("pkg_source") == "npm")
+    parts = [
+        nuspec.select("repo", "url_dep_key",
+                      F.nullif(F.col("project_url"), F.lit("")).alias("url_name")),
+        nuspec.select("repo", "url_dep_key",
+                      F.nullif(F.col("repository"), F.lit("")).alias("url_name")),
+        npm.select("repo", "url_dep_key",
+                   F.nullif(F.trim(F.col("homepage")), F.lit("")).alias("url_name")),
+        npm.select("repo", "url_dep_key",
+                   F.nullif(_norm_repo("repository"), F.lit("")).alias("url_name")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.filter(F.col("url_name").isNotNull())
+            .select("repo", "url_dep_key",
+                    F.concat(F.lit("url:"), F.col("url_name")).alias("url_key"),
+                    "url_name"))

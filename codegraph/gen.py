@@ -930,6 +930,33 @@ def commit_log_table(spark, n_repos: int, files_per_repo: int, seed: int = SEED)
 FIXTURE_ROOT = "/root/repo/fixtures"
 
 
+def gen_version() -> str:
+    """Content hash of this generator module. Fixture `_DONE` markers record
+    it, so ANY gen.py change auto-invalidates every cached fixture (the
+    Spark queries and the DuckDB oracles both read the cached parquet; a
+    stale fixture silently diverges from the oracle regexes)."""
+    import hashlib
+    import os
+
+    src = os.path.splitext(os.path.abspath(__file__))[0] + ".py"
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def fixture_current(marker: str) -> bool:
+    """True iff the marker exists and was written by THIS gen.py version."""
+    try:
+        with open(marker) as f:
+            return f.read().strip() == gen_version()
+    except OSError:
+        return False
+
+
+def write_fixture_marker(marker: str) -> None:
+    with open(marker, "w") as f:
+        f.write(gen_version() + "\n")
+
+
 def ensure_fixture_local(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     """Write (once, Spark-free) the parquet fixture for an sf tier; returns
     its dir. Both the Spark queries and the DuckDB oracles read these files,
@@ -943,7 +970,7 @@ def ensure_fixture_local(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     n_repos, fpr = SF_SPECS[sf_name]
     out = os.path.join(root, sf_name)
     marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
+    if fixture_current(marker):
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -972,8 +999,7 @@ def ensure_fixture_local(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     pq.write_table(pa.Table.from_pandas(gen_pkg_metadata_pdf(),
                                         preserve_index=False),
                    os.path.join(out, "pkg_metadata.parquet"))
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    write_fixture_marker(marker)
     return out
 
 

@@ -175,9 +175,11 @@ def _resolve_types(cands_base: DataFrame, types: DataFrame,
         *ids, F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
     )
     if global_ns is not None:
-        # repo-wide global usings: lowest priority, broadcast (small dim)
+        # repo-wide global usings: lowest priority. Per-repo counts are tiny
+        # but total rows scale with repo count, so no explicit broadcast —
+        # AQE broadcasts at runtime while the dim stays small
         gu = (cands_base.select(*ids)
-              .join(F.broadcast(global_ns), on=[F.col("repo") == F.col("g_repo")])
+              .join(global_ns, on=[F.col("repo") == F.col("g_repo")])
               .withColumn("prio", F.lit(_GLOBAL_PRIO))
               .drop("g_repo"))
         cands = cands.unionByName(gu.select(*cands.columns))

@@ -28,7 +28,8 @@ from codegraph import canon, gitmeta, link
 from codegraph import schema as S
 from codegraph.extract import extract_records
 from codegraph.extract.dispatch import (attach_ts_projects, collect_pkg_meta,
-                                        scan_ts_configs, scan_ts_projects)
+                                        pkg_urls_via_join, scan_ts_configs,
+                                        scan_ts_projects)
 from codegraph.schema import ACC_ORDER
 
 # ---------------------------------------------------------------------------
@@ -258,6 +259,7 @@ def run_pipeline(
     files_src = discover(source)
     files_src = apply_diff_filter(files_src, diff)
 
+    pkg_join_mode = False
     if records is None:
         # the extraction stage is CPU-bound per row: make sure it sees at
         # least one split per core. Heuristic on listed input files (cheap,
@@ -274,11 +276,14 @@ def run_pipeline(
         # path-prefix join instead of a driver dict
         ts_projects = scan_ts_projects(files_src)
         ts_configs = scan_ts_configs(files_src) if ts_projects is not None else None
+        # over-cap pkg-metadata dim (None) switches to the Spark-side join
+        # of URLs onto the extracted dependency rows (pkg_urls_via_join)
         pkg_meta = collect_pkg_meta(pkg_metadata)
+        pkg_join_mode = pkg_meta is None
         extract_src = (files_src if ts_projects is not None
                        else attach_ts_projects(files_src))
-        records = extract_records(extract_src, min_acc, ts_projects, pkg_meta,
-                                  ts_configs=ts_configs)
+        records = extract_records(extract_src, min_acc, ts_projects,
+                                  pkg_meta or {}, ts_configs=ts_configs)
         if persist:
             records = records.persist()
 
@@ -312,8 +317,12 @@ def run_pipeline(
 
     # --- git metadata (A1/J9) ----------------------------------------------
     if commit_log is not None:
+        # per-file stats scale WITH the corpus — no explicit broadcast (it
+        # would concentrate an unbounded dim on the driver); both sides are
+        # (repo, path)-keyed, so AQE picks broadcast only while the stats
+        # side's runtime size stays under the threshold
         stats = gitmeta.file_git_stats(commit_log)
-        files = (files.join(F.broadcast(stats), ["repo", "path"], "left"))
+        files = (files.join(stats, ["repo", "path"], "left"))
         authored = gitmeta.authored_edges(files, stats)
     else:
         files = (files.withColumn("created", F.lit(None).cast("timestamp"))
@@ -342,8 +351,10 @@ def run_pipeline(
     promo = (overrides.filter(F.col("file_key_override").isNotNull())
              .select("repo", "path",
                      F.col("file_key_override").alias("_promoted_key")))
+    # promoted keys are one row per razor file — corpus-proportional, so the
+    # broadcast decision is left to AQE's runtime size estimate
     declares = (raw_symbols
-                .join(F.broadcast(promo), ["repo", "path"], "left")
+                .join(promo, ["repo", "path"], "left")
                 .select(
                     "repo",
                     F.coalesce(F.col("_promoted_key"), F.col("path")).alias("src_key"),
@@ -369,6 +380,10 @@ def run_pipeline(
     # --- dependencies (S7/J6/A2) + URLs (J7) --------------------------------
     urls_rec = (records.filter(F.col("rec") == "url")
                 .select("repo", "url_dep_key", "url_key", "url_name").distinct())
+    if pkg_join_mode:
+        urls_rec = (urls_rec
+                    .unionByName(pkg_urls_via_join(records, pkg_metadata))
+                    .distinct())
     if assembly_refs is not None:
         deps = (assembly_refs.select(
             "repo", F.concat(F.lit("pkg:"), F.col("name")).alias("key"),

@@ -83,6 +83,13 @@ def start_streaming_dedup(spark: SparkSession, drop_dir: str, out_dir: str,
     ``textops.exact_dedup`` and the shape of a 100 TB ingest front-door:
     state is hash-partitioned by sha, so it shards across executors and
     never concentrates.
+
+    Cross-batch canonical-id semantics (divergence from the batch twin): the
+    canonical id is min(doc_id) WITHIN the first micro-batch that sees a
+    sha; a later batch carrying a smaller doc_id for the same sha does NOT
+    retract the emitted row (append-mode streams cannot retract), while the
+    batch twin over the union of all batches would pick the global min.
+    Pinned by ``test_streaming_dedup_first_batch_wins``.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -164,6 +164,42 @@ def test_ts_prefix_join_parity_with_broadcast_dict(spark, tiny_source, monkeypat
     assert rows(joined) == rows(base)
 
 
+def test_pkg_meta_join_parity_with_broadcast_dict(spark, tiny_source,
+                                                  tiny_result, monkeypatch):
+    """Large-dim fallback for the package-metadata dim
+    (dispatch.pkg_urls_via_join): with the cap forced to 0 collect_pkg_meta
+    returns None, extraction runs with an empty dict, and the URL records
+    are derived by the Spark-side (source, pkg) join — producing the SAME
+    Url nodes and HAS_URL edges as the broadcast-dict run (kg_dependencies
+    stays green)."""
+    from codegraph import gen, pipeline, schema
+    from codegraph.extract import dispatch
+
+    monkeypatch.setattr(dispatch, "MAX_DIM_ROWS", 0)
+    pm = spark.createDataFrame(gen.gen_pkg_metadata_pdf())
+    assert dispatch.collect_pkg_meta(pm) is None
+
+    cl = gen.commit_log_table(spark, 2, 20)
+    ar = spark.createDataFrame(gen.gen_assembly_refs_pdf(2))
+    res = pipeline.run_pipeline(spark, tiny_source, commit_log=cl,
+                                assembly_refs=ar, pkg_metadata=pm,
+                                persist=False)
+
+    def url_rows(r):
+        nodes = sorted(map(tuple, r["nodes"].filter(
+            F.col("label") == schema.L_URL)
+            .select("repo", "key", "name").collect()))
+        edges = sorted(map(tuple, r["edges"].filter(
+            F.col("rel_type") == schema.R_HAS_URL).collect()))
+        return nodes, edges
+
+    base_nodes, base_edges = url_rows(tiny_result)
+    join_nodes, join_edges = url_rows(res)
+    assert base_nodes, "fixture must produce Url nodes"
+    assert join_nodes == base_nodes
+    assert join_edges == base_edges
+
+
 def test_ts_prefix_join_picks_nearest_ancestor(spark):
     """Nested package.json: the longest-prefix match must win, and files
     outside any project resolve to NULL (skipped, like the dict walk)."""

@@ -81,6 +81,39 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert len(got2) == 5
 
 
+def test_streaming_dedup_first_batch_wins(spark, tmp_path):
+    """Cross-batch canonical-id semantics: the FIRST micro-batch that sees a
+    sha fixes the canonical id, even when a LATER batch carries a smaller
+    doc_id — an append-mode stream cannot retract the emitted row. This is
+    the documented divergence from the batch twin (textops.exact_dedup),
+    which over the union of both batches would canonicalize to the global
+    min (here 3, not 10)."""
+    import pandas as pd
+
+    from codegraph.streaming import start_streaming_dedup
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def land(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            drop / f"{name}.parquet", index=False)
+
+    land("b1", [(10, "zeta")])
+    q = start_streaming_dedup(spark, str(drop), str(tmp_path / "out"),
+                              str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    land("b2", [(3, "zeta")])  # smaller id, same content, later batch
+    q2 = start_streaming_dedup(spark, str(drop), str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+
+    got = [r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()]
+    assert got == [10]  # first batch won; no retraction, no re-emission
+
+
 def test_stateful_streaming_dedup_emits_min_id(spark, tmp_path):
     """Ids landing out of order within one micro-batch: the canonical id is
     min(doc_id) — arrival/partition order must not matter (the batch twin
