@@ -112,6 +112,60 @@ def test_langid_deterministic(spark, docs):
     assert set(a["pred_lang"]) <= {"en", "de", "fr", "es", "unknown"}
 
 
+def test_embedding_prefilter_recall_equals_exact(spark, docs):
+    """Sign-LSH prefilter recall at fixture scale: the prefiltered path
+    (candidates -> exact verify) returns EXACTLY the pair set of the exact
+    inverted-index path at threshold 0.95 — the property that keeps the
+    doc_embed_dedup oracle (which mirrors the exact path in SQL) green."""
+    from codegraph.textops import embedding_cosine_dedup
+
+    pre = sorted(map(tuple, embedding_cosine_dedup(
+        docs, dim=256, threshold=0.95, prefilter=True).collect()))
+    exact = sorted(map(tuple, embedding_cosine_dedup(
+        docs, dim=256, threshold=0.95, prefilter=False).collect()))
+    assert exact, "fixture must contain planted near-dup pairs"
+    assert pre == exact
+
+
+def test_cosine_lsh_candidate_bound_under_background_similarity(spark):
+    """Sign-LSH banding (b=42 x r=12) must NOT degenerate toward the
+    all-pairs join on a corpus whose hashed-BoW background cosine sits
+    around 0.2-0.4 (shared vocabulary): P(candidate) = 1-(1-p^12)^42 with
+    p = 1-arccos(s)/pi stays under ~15% there, while pairs at s >= 0.95
+    survive with P ~ 1-1e-6."""
+    from random import Random
+
+    from codegraph.textops import (cosine_lsh_candidates, doc_vectors,
+                                   embedding_cosine_dedup)
+
+    rng = Random(11)
+    pool = [f"word{i:03d}" for i in range(100)]
+    rows = []
+    for d in range(80):
+        rows.append((d, " ".join(pool[rng.randrange(len(pool))]
+                                 for _ in range(40))))
+    # planted near-dups: one word changed out of 40 -> cosine ~ 0.975
+    for j, d in enumerate(range(100, 103)):
+        base = rows[j][1].split()
+        base[5] = "changed"
+        rows.append((d, rows[j][1]))          # exact copy of doc j
+        rows.append((d + 50, " ".join(base)))  # 39/40 overlap
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    cands = cosine_lsh_candidates(doc_vectors(docs, 256)).count()
+    assert cands < 0.25 * all_pairs, (
+        f"candidate join degenerated: {cands} of {all_pairs}")
+    pre = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dedup(
+        docs, threshold=0.95, prefilter=True).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dedup(
+        docs, threshold=0.95, prefilter=False).collect()}
+    planted = {(100, 150), (101, 151), (102, 152)}
+    assert planted <= pre
+    assert pre == exact
+
+
 def test_embedding_cosine_dedup_matches_text_near_dups(spark, docs):
     """Hashed-BoW cosine near-dup (exact integer arithmetic over an inverted
     bucket index) finds the same pair set as the shingle-jaccard ground truth
