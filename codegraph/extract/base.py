@@ -22,7 +22,7 @@ EXTRACT_COLUMNS = [
     "language", "technology",
     "src_key", "dst_key", "rel_type",
     "m_kind", "m_from_key", "m_rel", "m_name", "m_recv", "m_usings", "m_nargs",
-    "m_args",
+    "m_args", "m_head",
     "url_dep_key", "url_key", "url_name",
     "file_namespace", "file_key_override",
 ]
@@ -42,7 +42,7 @@ _SYMBOL_REST = _rest(("key", "name", "kind", "klass", "fqn", "accessibility",
                       "comments", "version", "language", "technology"))
 _REL_REST = _rest(("src_key", "dst_key", "rel_type"))
 _MENTION_REST = _rest(("m_kind", "m_from_key", "m_rel", "m_name", "m_recv",
-                       "m_usings", "m_nargs", "m_args"))
+                       "m_usings", "m_nargs", "m_args", "m_head"))
 _URL_REST = _rest(("url_dep_key", "url_key", "url_name"))
 _FILEMETA_REST = _rest(("file_namespace", "file_key_override"))
 
@@ -107,7 +107,7 @@ class Emitter:
 
     def mention(self, m_kind: str, m_from_key: str, m_rel: str, m_name: str,
                 m_recv: str | None, usings: list[str], m_nargs: int | None = None,
-                m_args: list[str] | None = None):
+                m_args: list[str] | None = None, m_head: str | None = None):
         self._common("mention")
         c = self._cols
         c["m_kind"].append(m_kind)
@@ -119,6 +119,8 @@ class Emitter:
         c["m_nargs"].append(m_nargs)
         # classified argument type tokens ('' = unknown), for overload matching
         c["m_args"].append(US.join(m_args) if m_args is not None else None)
+        # chain head call / retsig return token / extsig member display
+        c["m_head"].append(m_head)
         for col in _MENTION_REST:
             c[col].append(None)
 

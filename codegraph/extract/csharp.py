@@ -51,7 +51,7 @@ from __future__ import annotations
 import re
 
 from codegraph import keys
-from codegraph.extract.base import Emitter
+from codegraph.extract.base import US, Emitter
 from codegraph.schema import ACC_ORDER, ACC_NOT_APPLICABLE, R_CONTAINS, R_DEPENDS_ON, R_INVOKES
 
 # C# builtin keyword types: Roslyn resolves them to metadata types whose
@@ -132,6 +132,12 @@ _RE_COMMENT = re.compile(r"^\s*(//(?!/).*|/\*.*\*/)\s*$")
 # body statement shapes
 _RE_NEW = re.compile(r"\bnew\s+([\w.]+)\s*\(([^)]*)\)")
 _RE_CALL = re.compile(r"(?<![\w.])(?:(?P<recv>this|[\w]+)\.)?(?P<name>\w+)\s*\(([^)]*)\)")
+# one-level call chain a.B(..).C(..): the head call is matched by _RE_CALL
+# (whose lookbehind skips the .C segment); the chained member binds through
+# the head's RETURN type at link time (retsig dictionary)
+_RE_CHAIN = re.compile(
+    r"(?<![\w.])(?:(?P<recv>this|\w+)\.)?(?P<m1>\w+)\s*\((?P<a1>[^)]*)\)"
+    r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)")
 _RE_LOCAL = re.compile(
     r"^\s*(?P<tok>var|[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*=\s*(?P<rhs>[^;]+);")
 _RE_BIN = re.compile(
@@ -413,6 +419,10 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                     "mkind": "Method", "name": name, "is_ctor": is_ctor,
                     "targs": mm.group("targs"),  # generic method <T, ...>
                     "params": _parse_params(mm.group("params")),
+                    # `this` first param marks an extension method; the
+                    # display drops the modifier (_parse_params keeps only
+                    # the type token) exactly like CSharpErrorMessageFormat
+                    "is_ext": mm.group("params").strip().startswith("this "),
                     "ret": None if is_ctor else (mm.group("ret") or "void"),
                     "acc": _acc_name(mm.group("acc"), default_acc),
                     "explicit_iface": explicit_iface,
@@ -543,6 +553,27 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                           acc, member_ns, mrec["start"], mrec["end"],
                           mrec["doc"], mrec["com"])
                 em.rel(t.key, key, R_CONTAINS)
+                if mk == "Method" and not mrec.get("is_ctor"):
+                    if mrec.get("ret"):
+                        # return-token record for the link-time ret
+                        # dictionary: chained calls a.B().C() bind C through
+                        # B's return type (Roslyn semantic binding,
+                        # MemberDependencyExtractor.cs:77-182). Column reuse:
+                        # m_recv=declaring type display, m_args=param tokens,
+                        # m_head=return token.
+                        em.mention("retsig", key, "", mrec["name"], t.display,
+                                   [], len(ptoks), m_args=ptoks,
+                                   m_head=mrec["ret"].rstrip("?"))
+                    if mrec.get("is_ext") and ptoks:
+                        # extension-method record: receiver-typed call sites
+                        # (w.Boost(5)) bind to the static method when the
+                        # receiver type declares no applicable instance
+                        # member. Column reuse: m_recv=receiver param token,
+                        # m_args=remaining param tokens, m_head=full display
+                        # (the edge target key is {repo}:{display}).
+                        em.mention("extsig", key, "", mrec["name"],
+                                   ptoks[0].rstrip("?"), [], len(ptoks) - 1,
+                                   m_args=ptoks[1:], m_head=display)
                 # param-type deps from the containing TYPE
                 # (MemberDependencyExtractor.cs:232-243)
                 for ptok, _pn in mrec["params"]:
@@ -723,6 +754,46 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
         else:
             em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns, nargs,
                        m_args=args)
+
+    for m in _RE_CHAIN.finditer(text):
+        # chained member: `recv.M1(a1).M2(a2)` — M1's INVOKES comes from the
+        # _RE_CALL scan below; M2 binds through M1's return type, which only
+        # the link-time member dictionary knows (reference: Roslyn binds the
+        # full chain semantically, MemberDependencyExtractor.cs:77-182)
+        recv, m1, m2 = m.group("recv"), m.group("m1"), m.group("m2")
+        if m1 in _MODIFIER_WORDS or m2 in _MODIFIER_WORDS:
+            continue
+        pre = text[max(0, m.start() - 4):m.start()]
+        if pre.endswith("new ") or pre.endswith("new"):
+            continue  # `new X(..).M(..)` out of the subset's chain scope
+        nargs1 = _count_args(m.group("a1"))
+        nargs2 = _count_args(m.group("a2"))
+        args1 = [_classify_arg(a, locals_, t.fields, t.display)
+                 for a in _split_args(m.group("a1"))]
+        args2 = [_classify_arg(a, locals_, t.fields, t.display)
+                 for a in _split_args(m.group("a2"))]
+        head = US.join([m1, str(nargs1)] + args1)
+        if recv is None or recv == "this":
+            k = ("chain", None, m1, nargs1, m2, nargs2, tuple(args2))
+            if k in seen:
+                continue
+            seen.add(k)
+            # head type is the OWN type display; cand_ns still rides along
+            # for resolving the head's return token
+            em.mention("chain_own", caller_key, R_INVOKES, m2, t.display,
+                       cand_ns, nargs2, m_args=args2, m_head=head)
+        else:
+            rtok = type_of(recv)
+            if rtok is None or _is_keywordish(rtok):
+                # BCL/unknown receiver: the chained target is a metadata
+                # member whose key dangles -> no edge either way
+                continue
+            k = ("chain", rtok, m1, nargs1, m2, nargs2, tuple(args2))
+            if k in seen:
+                continue
+            seen.add(k)
+            em.mention("chain_via", caller_key, R_INVOKES, m2, rtok,
+                       cand_ns, nargs2, m_args=args2, m_head=head)
 
     for m in _RE_CALL.finditer(text):
         recv, name, argstr = m.group("recv"), m.group("name"), m.group(3)

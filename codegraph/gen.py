@@ -169,6 +169,14 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # cannot classify -> ambiguity -> NO edge (plus a literal call
             # that does resolve)
             "has_ambig": rng.random() < 0.30,
+            # fluent Self() + a one-level call chain (Self().Run() and,
+            # when the dep also chains, _dep.Self().Run()) — binds the
+            # second member through the head's return type
+            "has_chain": rng.random() < 0.30,
+            # extension-method call site _dep.Boost(5): only classes whose
+            # dep is the hot class 0 (the repo's Fluent static class extends
+            # class 0)
+            "has_extcall": dep == 0 and rng.random() < 0.5,
             # "System" always present: EventHandler / Console need it to
             # resolve, keeping the subset compile-clean under Roslyn rules
             "ext_usings": ["System"] + rng.sample(EXTERNAL_USINGS[1:], k=rng.randint(0, 2)),
@@ -198,6 +206,8 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
         c["dep_ctor_zero_args"] = bool(d and d["has_ctor"] and d["dep"] is None)
         # operator/conversion usage sites need the dep type to declare them
         c["dep_has_ops"] = bool(d and d["has_ops"])
+        # cross-type chain needs the dep to declare Self()
+        c["dep_has_chain"] = bool(d and d["has_chain"])
         c["global_ns"] = global_ns
         c["box_ns"] = box_ns
 
@@ -211,6 +221,14 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
     files.append({
         "kind": "csharp_box", "lang": "csharp",
         "path": f"src/{app_ns}/{box_ns.split('.')[-1]}/Box.cs", "ns": box_ns,
+    })
+    # per-repo static extension class targeting the hot class 0 (extension
+    # invocations bind to the static method symbol, like Roslyn)
+    cls0 = by_idx[0]
+    files.append({
+        "kind": "csharp_ext", "lang": "csharp",
+        "path": f"src/{app_ns}/{cls0['ns'].split('.')[-1]}/Fluent.cs",
+        "ns": cls0["ns"], "target": cls0["name"],
     })
     files.append({
         "kind": "csharp_globalusings", "lang": "csharp",
@@ -455,6 +473,27 @@ def _render_one_class(c: dict) -> list:
         lines.append("    private int Grab()")
         lines.append("    {")
         lines.append("        return 1;")
+        lines.append("    }")
+    if c.get("has_chain"):
+        # fluent Self() + one-level chain: the chained Run() binds through
+        # Self()'s return type (own class; cross-type via the dep field)
+        lines.append(f"    public {name} Self()")
+        lines.append("    {")
+        lines.append("        return this;")
+        lines.append("    }")
+        lines.append("    public void Flow()")
+        lines.append("    {")
+        lines.append("        Self().Run();")
+        if dep and c.get("dep_has_chain"):
+            lines.append("        _dep.Self().Run();")
+        lines.append("    }")
+    if c.get("has_extcall") and dep:
+        # receiver-typed extension call: Boost is declared on the repo's
+        # static Fluent class with `this {class0}` — no instance member
+        # named Boost exists, so binding falls through to the extension
+        lines.append("    public void UseBoost()")
+        lines.append("    {")
+        lines.append("        _dep.Boost(5);")
         lines.append("    }")
     if c.get("has_ambig"):
         # same-arity overloads: Pick(Count) passes a property access the
@@ -740,6 +779,21 @@ public class Box<T>
 """
 
 
+def _render_csharp_ext(spec: dict) -> str:
+    """Static extension class over the repo's hot class 0: extension
+    invocations bind to the static method symbol (display drops `this`)."""
+    return f"""namespace {spec["ns"]};
+
+public static class Fluent
+{{
+    public static int Boost(this {spec["target"]} w, int amount)
+    {{
+        return amount;
+    }}
+}}
+"""
+
+
 def _render_csharp_globalusings(spec: dict) -> str:
     return f"global using {spec['ns']};\n"
 
@@ -780,6 +834,7 @@ def _render_decoy(spec: dict) -> str:
 _RENDERERS = {
     "csharp": _render_csharp,
     "csharp_box": _render_csharp_box,
+    "csharp_ext": _render_csharp_ext,
     "csharp_globalusings": _render_csharp_globalusings,
     "csharp_partial1": _render_csharp_partial1,
     "csharp_partial2": _render_csharp_partial2,

@@ -70,7 +70,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codegraph.extract.base import US
-from codegraph.extract.csharp import KEYWORD_TYPES
+from codegraph.extract.csharp import EXTERNAL_TYPE_DISPLAY, KEYWORD_TYPES
 
 
 def build_dictionaries(symbols: DataFrame):
@@ -133,7 +133,7 @@ def build_dictionaries(symbols: DataFrame):
 
 
 _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
-                    "m_recv", "m_usings", "m_nargs", "m_args"]
+                    "m_recv", "m_usings", "m_nargs", "m_args", "m_head"]
 
 # priority assigned to every global-using candidate namespace: any local
 # candidate (posexplode index < 100000) outranks the global pool, and ties
@@ -152,7 +152,8 @@ def _with_mid(mentions: DataFrame) -> DataFrame:
                    F.coalesce(F.col("m_recv"), sent),
                    F.coalesce(F.col("m_usings"), sent),
                    F.coalesce(F.col("m_nargs").cast("string"), sent),
-                   F.coalesce(F.col("m_args"), sent)))
+                   F.coalesce(F.col("m_args"), sent),
+                   F.coalesce(F.col("m_head"), sent)))
 
 
 def _resolve_types(cands_base: DataFrame, types: DataFrame,
@@ -245,9 +246,12 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
 
     # narrow per-mid dim: ONLY the columns downstream passes need — the wide
     # m_usings / path columns are excluded, so this dedup shuffle and the
-    # recovery joins stay compact
-    dim = (mentions.select("repo", "mid", "m_kind", "m_from_key", "m_rel",
-                           "m_name", "m_recv", "m_nargs", "m_args")
+    # recovery joins stay compact. Side-channel records (retsig/extsig/
+    # global_using) never resolve, so they stay out of the dim too.
+    dim = (mentions.filter(~F.col("m_kind").isin("retsig", "extsig",
+                                                 "global_using"))
+           .select("repo", "mid", "m_kind", "m_from_key", "m_rel",
+                   "m_name", "m_recv", "m_nargs", "m_args", "m_head")
            .dropDuplicates(["repo", "mid"]))
 
     # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
@@ -261,11 +265,12 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
 
     # --- pass 1: type resolution ------------------------------------------
     toks = (F.when(kind.isin("type", "ctor"), F.array("m_name"))
-            .when(kind.isin("invoke_via", "invoke_static", "op"), F.array("m_recv"))
+            .when(kind.isin("invoke_via", "invoke_static", "op", "chain_via"),
+                  F.array("m_recv"))
             .otherwise(F.array_distinct(F.array("m_recv", "m_name"))))  # conv_*
     needs_type = (
         mentions.filter(kind.isin("type", "ctor", "invoke_via", "invoke_static",
-                                  "op", "conv_impl", "conv_expl"))
+                                  "op", "conv_impl", "conv_expl", "chain_via"))
         .select("repo", "mid", "m_usings", F.explode(toks).alias("resolve_tok"))
         .filter(F.col("resolve_tok").isNotNull() & (F.col("resolve_tok") != "")
                 & ~F.array_contains(kw, F.col("resolve_tok"))
@@ -296,9 +301,82 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                .otherwise(F.array("m_name")))
     norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
         .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
+
+    # --- chained calls: bind the SECOND member through the head's return
+    #     token (retsig dictionary), then resolve that token like any other
+    #     type mention, then ride the shared member-lookup join below --------
+    rets = (mentions.filter(F.col("m_kind") == "retsig")
+            .select(F.col("repo").alias("rr_repo"),
+                    F.col("m_recv").alias("rt_display"),
+                    F.col("m_name").alias("r_name"),
+                    F.col("m_nargs").alias("r_nparams"),
+                    F.when(F.col("m_args").isNull(), F.lit(""))
+                    .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
+                    .alias("r_params"),
+                    F.col("m_head").alias("r_ret"))
+            .distinct())
+    chain_cols = ["repo", "mid", "m_head", "t_display"]
+    ch_via = resolved_full.filter(kind == "chain_via").select(*chain_cols)
+    ch_own = (dim.filter(kind == "chain_own")
+              .withColumn("t_display", F.col("m_recv"))
+              .select(*chain_cols))
+    hp = F.split(F.col("m_head"), US)
+    chains = (ch_via.unionByName(ch_own)
+              .select("repo", "mid", "t_display",
+                      hp.getItem(0).alias("h_name"),
+                      hp.getItem(1).cast("int").alias("h_nargs"),
+                      F.array_join(
+                          F.slice(hp, F.lit(3),
+                                  F.greatest(F.size(hp) - 2, F.lit(0))),
+                          ", ").alias("h_args")))
+    hj = chains.join(
+        rets,
+        on=[F.col("repo") == F.col("rr_repo"),
+            F.col("t_display") == F.col("rt_display"),
+            F.col("h_name") == F.col("r_name")],
+        how="inner")
+    hrank = (F.when(~F.col("h_args").contains("?")
+                    & (F.col("r_params") == F.col("h_args")), F.lit(0))
+             .when(F.col("r_nparams") == F.col("h_nargs"), F.lit(1))
+             .otherwise(F.lit(99)))
+    hj = hj.withColumn("_hr", hrank).filter(F.col("_hr") < 99)
+    hranked = (
+        hj.groupBy("repo", "mid")
+        .agg(F.min("_hr").alias("_h0"),
+             F.expr("min_by(struct(r_params, r_ret), struct(_hr, r_params))")
+             .alias("_minr"),
+             F.expr("max_by(struct(r_params, r_ret), struct(-_hr, r_params))")
+             .alias("_maxr"),
+             F.max(F.col("h_args").contains("?")).alias("_hunk")))
+    # head overload ambiguity mirrors the member pass: an arity-rank tie with
+    # unclassified args is a Roslyn error -> the whole chain drops
+    h_ok = (hranked
+            .filter(~(F.col("_hunk") & (F.col("_h0") >= 1)
+                      & (F.col("_minr") != F.col("_maxr"))))
+            .select("repo", "mid", F.col("_minr.r_ret").alias("r_ret")))
+    # keyword/BCL return types: the chained target is a metadata member whose
+    # key dangles either way -> no edge (MergeRelationships.cypher:1-5)
+    h_ok = h_ok.filter(~F.array_contains(kw, F.col("r_ret"))
+                       & ~F.col("r_ret").startswith("System.")
+                       & ~F.col("r_ret").isin(*EXTERNAL_TYPE_DISPLAY.keys()))
+    musings = (mentions.select("repo", "mid", "m_usings")
+               .dropDuplicates(["repo", "mid"]))
+    resolved_ret = _resolve_types(
+        h_ok.join(musings, ["repo", "mid"])
+        .select("repo", "mid", F.col("r_ret").alias("resolve_tok"), "m_usings"),
+        types, salt, global_ns)
+    chain_cand = (resolved_ret
+                  .join(dim.select("repo", "mid", "m_name", "m_nargs", "m_args"),
+                        ["repo", "mid"])
+                  .select("repo", "mid", "m_nargs",
+                          norm_args.alias("norm_args"), "t_display",
+                          F.lit(0).alias("lrank"),
+                          F.col("m_name").alias("lookup")))
+
     cand = member_mentions.select(
         "repo", "mid", "m_nargs", norm_args.alias("norm_args"), "t_display",
-        F.posexplode(lookups).alias("lrank", "lookup"))
+        F.posexplode(lookups).alias("lrank", "lookup")) \
+        .unionByName(chain_cand)
     joined = cand.join(
         members.hint("shuffle_hash"),
         on=[F.col("repo") == F.col("mm_repo"),
@@ -338,6 +416,62 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
               ["repo", "mid"]),
         "member_key")
 
+    # --- extension-method fallback: receiver-typed calls that found NO
+    #     instance member on the resolved type bind to a static method whose
+    #     `this` parameter targets the receiver (Roslyn considers extensions
+    #     only when no applicable instance method exists). Subset convention:
+    #     the declared receiver token is the receiver type's simple name
+    #     (class names are unique per repo in the fixture corpus). -----------
+    exts = (mentions.filter(F.col("m_kind") == "extsig")
+            .select(F.col("repo").alias("e_repo"),
+                    F.col("m_recv").alias("e_recv"),
+                    F.col("m_name").alias("e_name"),
+                    F.col("m_nargs").alias("e_nargs"),
+                    F.when(F.col("m_args").isNull(), F.lit(""))
+                    .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
+                    .alias("e_params"),
+                    F.col("m_head").alias("e_display"))
+            .distinct())
+    ext_base = (resolved_full.filter(kind == "invoke_via")
+                .join(ranked.select("repo", "mid"), ["repo", "mid"],
+                      "left_anti")
+                .select("repo", "mid", "m_name", "m_nargs",
+                        norm_args.alias("norm_args"),
+                        F.element_at(F.split(F.col("t_display"), "\\."), -1)
+                        .alias("t_simple")))
+    ej = ext_base.join(
+        exts,
+        on=[F.col("repo") == F.col("e_repo"),
+            F.col("m_name") == F.col("e_name"),
+            F.col("t_simple") == F.col("e_recv")],
+        how="inner")
+    erank = (F.when(F.col("norm_args").isNotNull()
+                    & ~F.col("norm_args").contains("?")
+                    & (F.col("e_params") == F.col("norm_args")), F.lit(0))
+             .when(F.col("m_nargs").isNull(), F.lit(1))
+             .when(F.col("e_nargs") == F.col("m_nargs"), F.lit(1))
+             .otherwise(F.lit(99)))
+    ej = ej.withColumn("_er", erank).filter(F.col("_er") < 99)
+    eranked = (
+        ej.groupBy("repo", "mid")
+        .agg(F.min("_er").alias("_e0"),
+             F.expr("min_by(e_display, struct(_er, e_display))")
+             .alias("e_display"),
+             F.expr("max_by(e_display, struct(-_er, e_display))")
+             .alias("_emax"),
+             F.max(F.coalesce(F.col("norm_args").contains("?"), F.lit(False)))
+             .alias("_eunk")))
+    e_amb = (F.col("_eunk") & (F.col("_e0") >= 1)
+             & (F.col("e_display") != F.col("_emax")))
+    ext_edges = _as_edge(
+        eranked.filter(~e_amb)
+        .select("repo", "mid",
+                F.concat(F.col("repo"), F.lit(":"), F.col("e_display"))
+                .alias("member_key"))
+        .join(dim.select("repo", "mid", "m_from_key", "m_rel"),
+              ["repo", "mid"]),
+        "member_key")
+
     # --- using-directive mentions: external namespaces dangle; in-repo
     #     namespaces are same-assembly => no edge (RoslynSymbolProcessor.cs:47-65)
     um = dim.filter(kind == "using")
@@ -348,7 +482,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                 F.concat(F.col("repo"), F.lit(":"), F.col("m_name")).alias("dst_key"))
     )
 
-    return type_edges.unionByName(member_edges).unionByName(ext_using)
+    return (type_edges.unionByName(member_edges).unionByName(ext_edges)
+            .unionByName(ext_using))
 
 
 def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:

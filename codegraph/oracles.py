@@ -52,7 +52,7 @@ cs_lines AS (
 # user-defined operator and conversion declarations.
 CS_CTX = r"""marks AS (
   SELECT repo, path, ns, ln, line,
-         nullif(regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1), '') AS tdecl,
+         nullif(regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1), '') AS tdecl,
          CASE WHEN regexp_matches(line, '^public enum ') THEN TRUE ELSE FALSE END AS is_enum_decl
   FROM cs_lines
 ),
@@ -159,6 +159,18 @@ members AS (
          regexp_extract(line, '^    public int (\w+)\(\) =>', 1) || '()', NULL
   FROM tdisp WHERE regexp_matches(line, '^    public int \w+\(\) => [^;]+;$')
   UNION ALL
+  -- fluent Self(): the return type is the declaring class name, outside
+  -- the keyword set the generic method branch below accepts
+  SELECT repo, path, ns, ln, type_display, 'Method', 'Self()', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public \w+ Self\(\)$')
+  UNION ALL
+  -- extension method: CSharpErrorMessageFormat drops the `this` modifier
+  -- from the parameter display ('Boost(Widget5, int)')
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         'Boost(' || regexp_extract(line, 'Boost\(this (\w+) w', 1) || ', int)',
+         NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public static int Boost\(this \w+ w, int amount\)$')
+  UNION ALL
   -- methods, ctors, interface members: name(paramTok, ...); return types
   -- may carry a nullable annotation (string? Find(int?))
   SELECT repo, path, ns, ln, type_display, 'Method',
@@ -183,10 +195,10 @@ cs_types AS (
   -- (Roslyn merges them into ONE symbol; raw extraction emits one row per
   -- declaring file, exactly like ProcessSymbol per syntax tree)
   SELECT repo, path, ns, ln,
-         regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+)', 1) AS name,
-         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1)
-              ELSE ns || '.' || regexp_extract(line, '^public (?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1) END AS display
-  FROM cs_lines WHERE regexp_matches(line, '^public (?:partial )?(?:class|interface|enum|struct|record) \w+(<[\w, ]+>)?$')
+         regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+)', 1) AS name,
+         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1)
+              ELSE ns || '.' || regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1) END AS display
+  FROM cs_lines WHERE regexp_matches(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) \w+(<[\w, ]+>)?$')
   UNION ALL
   SELECT repo, path, ns, ln, 'Inner', nested_display
   FROM nested_types
@@ -226,12 +238,14 @@ lines AS (
   SELECT repo, path, string_split(content, chr(10)) AS ls,
          regexp_matches(content, 'public enum ') AS has_enum
   FROM discovered WHERE lower(path) LIKE '%.cs'
-    AND regexp_matches(content, 'public (partial )?(class|interface|enum) ')
+    AND regexp_matches(content, 'public (static )?(partial )?(class|interface|enum) ')
 )
 SELECT repo, path,
   len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\\?? )?\\w+\\([^)]*\\)[;]?$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+\\(\\) => [^;]+;$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Self\\(\\)$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public static int Boost\\(this \\w+ w, int amount\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
                             AND NOT regexp_matches(l, '^    public static (implicit|explicit) operator ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static (implicit|explicit) operator '))) AS n_methods,
@@ -576,6 +590,32 @@ calls AS (
   -- both parts share one merged type symbol
   SELECT repo, path, cur_method, type_display, NULL, 'Warm()'
   FROM body WHERE regexp_matches(line, '^        Warm\\(\\);$')
+  UNION ALL
+  -- own-type fluent chain Self().Run(): head edge + chained edge bound
+  -- through Self()'s return type (the own class)
+  SELECT repo, path, cur_method, type_display, NULL, 'Self()'
+  FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- cross-type chain _dep.Self().Run(): both edges land on the dep type
+  -- (Self() returns its declaring class)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Self()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- extension-method call _dep.Boost(5): no instance member named Boost on
+  -- the receiver -> binds to the static Fluent method; the display keeps
+  -- the receiver type as the first parameter token
+  SELECT b.repo, b.path, b.cur_method, b.type_display, 'Fluent',
+         'Boost(' || f.ftype || ', int)'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Boost\\(5\\);$')
 ),
 resolved AS (
   SELECT c.repo, c.path, c.cur_method, c.type_display, c.callee_sig,
@@ -642,6 +682,19 @@ tokens AS (
   SELECT repo, path, type_display,
          regexp_extract(line, ' operator (\\w+)\\(', 1)
   FROM tdisp WHERE regexp_matches(line, '^    public static (implicit|explicit) operator ')
+  UNION ALL
+  -- fluent Self(): non-ctor RETURN type dep — the declaring class itself
+  -- (MemberDependencyExtractor.cs:245-253; every other generated method
+  -- returns a keyword type whose dep dangles)
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    public (\\w+) Self\\(\\)$', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public \\w+ Self\\(\\)$')
+  UNION ALL
+  -- extension method receiver param: `this Widget5 w` contributes the
+  -- receiver type as a parameter dep of the static Fluent class
+  SELECT repo, path, type_display,
+         regexp_extract(line, 'Boost\\(this (\\w+) w', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public static int Boost\\(this \\w+ w, int amount\\)$')
 ),
 inrepo AS (
   SELECT DISTINCT tk.repo,

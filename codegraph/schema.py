@@ -147,6 +147,10 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("m_usings", T.StringType(), True),   # '\x1f'-joined candidate namespaces
     T.StructField("m_nargs", T.IntegerType(), True),   # invocation arg count
     T.StructField("m_args", T.StringType(), True),     # '\x1f'-joined classified arg type tokens
+    # chain/sig payload: for 'chain_*' mentions the '\x1f'-joined head call
+    # (name, nargs, arg tokens...); for 'retsig' the return token; for
+    # 'extsig' the full member display
+    T.StructField("m_head", T.StringType(), True),
     # url fields (UrlNode.cs:3-8)
     T.StructField("url_dep_key", T.StringType(), True),
     T.StructField("url_key", T.StringType(), True),

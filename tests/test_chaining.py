@@ -1,0 +1,218 @@
+"""Chained-call and extension-method INVOKES resolution.
+
+Reference semantics (MemberDependencyExtractor.cs:77-182): Roslyn binds
+``a.B().C()`` through B's RETURN type, and binds receiver-typed extension
+calls (``w.Boost(5)``) to the static method symbol when the receiver type
+declares no applicable instance member. The replica reproduces both at link
+time: a retsig dictionary carries member return tokens; an extsig
+dictionary carries ``this``-parameter targets.
+"""
+
+from codegraph import pipeline
+
+
+def _src(spark, files):
+    rows = [("r1", path, "c" * 40, "csharp", content) for path, content in files]
+    return spark.createDataFrame(rows, "repo string, path string, "
+                                       "commit string, lang string, content string")
+
+
+def _edges(spark, files):
+    res = pipeline.run_pipeline(spark, _src(spark, files), persist=False)
+    return {(r["src_key"], r["rel_type"], r["dst_key"])
+            for r in res["linked"].collect()}
+
+
+TARGET = """namespace Lib;
+
+public class Target
+{
+    public void Ping()
+    {
+    }
+}
+"""
+
+MAKER = """using Lib;
+
+namespace Mid;
+
+public class Maker
+{
+    public Target Make()
+    {
+        return null;
+    }
+    public Maker Self()
+    {
+        return this;
+    }
+    public void Run()
+    {
+    }
+}
+"""
+
+
+def test_cross_type_chain_binds_through_return_type(spark):
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    private readonly Maker _dep;
+    public void Go()
+    {
+        _dep.Make().Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", TARGET),
+        ("src/Mid/Maker.cs", MAKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    src = "r1:App.Caller.Go()"
+    # head call binds normally; the chained call binds through Make()'s
+    # return type Target
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+
+
+def test_own_type_fluent_chain(spark):
+    edges = _edges(spark, [("src/Mid/Maker.cs", MAKER.replace(
+        "    public void Run()\n    {\n    }",
+        "    public void Run()\n    {\n    }\n"
+        "    public void Flow()\n    {\n        Self().Run();\n    }"))])
+    src = "r1:Mid.Maker.Flow()"
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Self()") in edges
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Run()") in edges
+
+
+def test_chain_through_bcl_return_drops(spark):
+    caller = """namespace App;
+
+public class Caller
+{
+    public string Name()
+    {
+        return null;
+    }
+    public void Go()
+    {
+        Name().Trim();
+    }
+}
+"""
+    edges = _edges(spark, [("src/App/Caller.cs", caller)])
+    src = "r1:App.Caller.Go()"
+    assert (src, "src__INVOKES", "r1:App.Caller.Name()") in edges
+    # string.Trim() is a metadata member -> dangling key -> no edge
+    assert not any(d.endswith("Trim()") for s, _r, d in edges if s == src)
+
+
+def test_chain_head_overload_ambiguity_drops(spark):
+    files = [("src/Lib/Target.cs", TARGET), ("src/App/Amb.cs", """using Lib;
+
+namespace App;
+
+public class Amb
+{
+    public Target Fork(int a)
+    {
+        return null;
+    }
+    public Target Fork(string b)
+    {
+        return null;
+    }
+    public void Go()
+    {
+        Fork(Count).Ping();
+    }
+    public int Count { get; set; }
+}
+""")]
+    edges = _edges(spark, files)
+    # Fork(Count): the argument is unclassifiable -> the same-arity overload
+    # tie is a Roslyn ambiguity error -> neither the head nor the chained
+    # edge lands
+    src = "r1:App.Amb.Go()"
+    assert not any(d.endswith("Ping()") for s, _r, d in edges if s == src)
+
+
+def test_extension_method_binds_to_static_member(spark):
+    files = [("src/Lib/Widget.cs", """namespace Lib;
+
+public class Widget
+{
+    public void Run()
+    {
+    }
+}
+"""), ("src/Lib/Ext.cs", """namespace Lib;
+
+public static class Ext
+{
+    public static int Boost(this Widget w, int amount)
+    {
+        return amount;
+    }
+}
+"""), ("src/App/User.cs", """using Lib;
+
+namespace App;
+
+public class User
+{
+    private readonly Widget _w;
+    public void Go()
+    {
+        _w.Boost(5);
+    }
+}
+""")]
+    edges = _edges(spark, files)
+    src = "r1:App.User.Go()"
+    # CSharpErrorMessageFormat drops the `this` modifier from the display
+    assert (src, "src__INVOKES", "r1:Lib.Ext.Boost(Widget, int)") in edges
+
+
+def test_instance_member_wins_over_extension(spark):
+    files = [("src/Lib/Widget.cs", """namespace Lib;
+
+public class Widget
+{
+    public int Boost(int amount)
+    {
+        return amount;
+    }
+}
+"""), ("src/Lib/Ext.cs", """namespace Lib;
+
+public static class Ext
+{
+    public static int Boost(this Widget w, int amount)
+    {
+        return amount;
+    }
+}
+"""), ("src/App/User.cs", """using Lib;
+
+namespace App;
+
+public class User
+{
+    private readonly Widget _w;
+    public void Go()
+    {
+        _w.Boost(5);
+    }
+}
+""")]
+    edges = _edges(spark, files)
+    src = "r1:App.User.Go()"
+    assert (src, "src__INVOKES", "r1:Lib.Widget.Boost(int)") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Ext.Boost(Widget, int)") not in edges
