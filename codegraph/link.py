@@ -31,6 +31,19 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
    name (Roslyn infers type arguments at the call site) and matched by
    arity.
 
+   Two member-lookup extensions mirror Roslyn's binding order:
+   * **one-level call chains** ``a.B().C()`` — extraction emits a ``chain``
+     mention carrying the head call; resolution looks B up in a
+     return-token dictionary (``retsig`` records emitted per method
+     declaration), resolves the return token like any other type mention,
+     and binds C on the result. Head-overload ambiguity or a keyword/BCL
+     return drops the chain (the reference's dangling-edge outcome).
+   * **extension methods** — receiver-typed calls that found NO applicable
+     instance member fall through to an ``extsig`` dictionary of static
+     methods keyed by their ``this``-parameter token (matched against the
+     receiver type's simple name — class names are unique per repo in the
+     fixture subset). Instance members always win, like C# lookup order.
+
    Shuffle width: every mention is first condensed to a 64-bit
    ``mid = xxhash64(identity columns)``. Candidate explosion, the
    dictionary joins, and the ranked min_by groupBys all move ONLY

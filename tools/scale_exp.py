@@ -45,7 +45,7 @@ VARIANTS = [
 def ensure_scale_fixture(n_repos: int, cpf: int) -> str:
     scale_dir = os.path.join(gen.FIXTURE_ROOT, f"scale_bench_{n_repos}x{cpf}")
     marker = os.path.join(scale_dir, "_DONE")
-    if not os.path.exists(marker):
+    if not gen.fixture_current(marker):
         os.makedirs(scale_dir, exist_ok=True)
         log(f"scale_exp: generating fixture ({n_repos}x640x{cpf})")
         s = get_spark(app_name="scale-exp-gen", cores=32)
@@ -58,23 +58,51 @@ def ensure_scale_fixture(n_repos: int, cpf: int) -> str:
         s.createDataFrame(gen.gen_pkg_metadata_pdf()).write.mode(
             "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
         s.stop()
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        gen.write_fixture_marker(marker)
     return scale_dir
 
 
-def main():
-    n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    cpf = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    scale_dir = ensure_scale_fixture(n_repos, cpf)
-    for name, conf in VARIANTS:
-        s = get_spark(app_name=f"scale-exp-{name}", cores=8, extra_conf=conf)
+def run_leg(name: str, conf: dict, scale_dir: str, warm_dir: str | None = None):
+    s = get_spark(app_name=f"scale-exp-{name}", cores=8, extra_conf=conf)
+    try:
+        if warm_dir:
+            run_kg_pipeline(s, warm_dir)  # burn JIT/codegen cold penalty
         t0 = time.time()
         nn, ne = run_kg_pipeline(s, scale_dir)
         dt = time.time() - t0
         print(f"RESULT {name}: {dt:.1f}s {(nn + ne) / dt:.0f} triples/s "
               f"({nn + ne} triples)", flush=True)
+        return dt, (nn + ne) / dt
+    finally:
         s.stop()
+
+
+def main():
+    paired = "--paired-zstd" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_repos = int(args[0]) if len(args) > 0 else (48 if paired else 96)
+    cpf = int(args[1]) if len(args) > 1 else (8 if paired else 16)
+    scale_dir = ensure_scale_fixture(n_repos, cpf)
+    if paired:
+        # A/B/A/B at the scale corpus: alternate the current default (lz4
+        # shuffle codec) with zstd; per-session sf0.001 warmup burns the
+        # first-leg cold penalty; best-of-2 per side is the only comparison
+        # this host's window variance supports (BENCH/BASELINE.md).
+        warm = gen.ensure_fixture_local("sf0.001")
+        zstd = {"spark.io.compression.codec": "zstd"}
+        best = {"lz4": float("inf"), "zstd": float("inf")}
+        for rnd in range(2):
+            for name, conf in (("lz4", {}), ("zstd", zstd)):
+                dt, _thr = run_leg(f"{name}-{rnd}", conf, scale_dir, warm)
+                best[name] = min(best[name], dt)
+        print(f"PAIRED lz4 best {best['lz4']:.1f}s vs zstd best "
+              f"{best['zstd']:.1f}s -> "
+              f"{'zstd' if best['zstd'] < best['lz4'] else 'lz4'} wins "
+              f"({abs(1 - best['zstd'] / best['lz4']) * 100:.1f}%)",
+              flush=True)
+        return
+    for name, conf in VARIANTS:
+        run_leg(name, conf, scale_dir)
 
 
 if __name__ == "__main__":
