@@ -138,6 +138,15 @@ _RE_CALL = re.compile(r"(?<![\w.])(?:(?P<recv>this|[\w]+)\.)?(?P<name>\w+)\s*\((
 _RE_CHAIN = re.compile(
     r"(?<![\w.])(?:(?P<recv>this|\w+)\.)?(?P<m1>\w+)\s*\((?P<a1>[^)]*)\)"
     r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)")
+# explicitly-typed lambda parameter `(Dep d) =>`: registers d as a local so
+# calls in the lambda body bind through its type (Roslyn walks lambda bodies
+# as part of the enclosing member, MemberDependencyExtractor.cs:77-104;
+# type-INFERENCE for untyped lambda params is out of the lexer subset)
+_RE_LAMBDA_PARAM = re.compile(r"\(\s*(?P<tok>[A-Z]\w*)\s+(?P<name>\w+)\s*\)\s*=>")
+# generic constraint clause at the end of a type/method declaration line:
+# Roslyn displays ignore constraints (CSharpErrorMessageFormat), so the
+# lexer strips the clause before matching the declaration shape
+_RE_WHERE = re.compile(r"\s+where\s+\w+\s*:\s*[^({]+$")
 _RE_LOCAL = re.compile(
     r"^\s*(?P<tok>var|[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*=\s*(?P<rhs>[^;]+);")
 _RE_BIN = re.compile(
@@ -297,7 +306,11 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             i += 1
             continue
 
-        mt = _RE_TYPE.match(raw)
+        # generic constraint clauses never reach a Roslyn display — strip
+        # them from the declaration line before shape-matching
+        raw_decl = _RE_WHERE.sub("", raw) if " where " in raw else raw
+
+        mt = _RE_TYPE.match(raw_decl)
         if mt:
             doc, com = flush_trivia()
             acc = _acc_name(mt.group("acc"), "Internal" if not tstack else "Private")
@@ -405,7 +418,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
-            mm = _RE_METHOD.match(raw)
+            mm = _RE_METHOD.match(raw_decl)
             if mm and (mm.group("ret") or mm.group("name") == cur.name) and \
                     mm.group("name").split(".")[-1] not in _MODIFIER_WORDS and \
                     (mm.group("ret") is None or mm.group("ret") not in
@@ -655,6 +668,11 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
         text = body.split(")", 1)[1] if ")" in body else body
 
     locals_: dict[str, str] = {pn: ptok for ptok, pn in mrec.get("params", [])}
+    # explicitly-typed lambda params act as typed locals for the body walk
+    # (scoping is flattened to the member — acceptable in the subset, where
+    # lambda param names don't shadow other locals)
+    for lm in _RE_LAMBDA_PARAM.finditer(body):
+        locals_.setdefault(lm.group("name"), lm.group("tok"))
     ret_tok = (mrec.get("ret") or "").rstrip("?") or None
 
     def type_of(ident: str) -> str | None:

@@ -129,11 +129,13 @@ def extract_records(source_df, min_acc: int, ts_projects: dict | None,
         for pdf in batches:
             em = Emitter()
             if join_mode:
-                for repo, path, content, proj, pdir, inc, exc in zip(
+                for repo, path, content, proj, pdir, inc, exc, tsp, tsb in zip(
                         pdf["repo"], pdf["path"], pdf["content"],
                         pdf["ts_project"], pdf["ts_project_dir"],
-                        pdf["ts_includes"], pdf["ts_excludes"]):
-                    resolved = (_s(proj), _s(pdir), _s(inc), _s(exc))
+                        pdf["ts_includes"], pdf["ts_excludes"],
+                        pdf["ts_paths"], pdf["ts_baseurl"]):
+                    resolved = (_s(proj), _s(pdir), _s(inc), _s(exc),
+                                _s(tsp), _s(tsb))
                     _extract_into(em, repo, path, content, min_acc, ts, pkg,
                                   ts_resolved=resolved)
             else:
@@ -146,7 +148,8 @@ def extract_records(source_df, min_acc: int, ts_projects: dict | None,
 
     cols = ["repo", "path", "content"]
     if join_mode:
-        cols += ["ts_project", "ts_project_dir", "ts_includes", "ts_excludes"]
+        cols += ["ts_project", "ts_project_dir", "ts_includes", "ts_excludes",
+                 "ts_paths", "ts_baseurl"]
     return source_df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
@@ -180,12 +183,12 @@ def _ts_project_dim(source_df):
 
 
 def _ts_config_dim(source_df):
-    """(repo, dir, include-json, exclude-json) per tsconfig.json sitting at
-    a project root. The reference feeds tsconfig's file selection into the
-    TS program (analyzer.ts:11-33 parseJsonConfigFileContent): only files
-    matched by ``include`` (all, when absent) minus ``exclude`` are
-    analyzed. The arrays ride as raw JSON strings; the in-UDF gate parses
-    and prefix-normalizes them."""
+    """(repo, dir, include-json, exclude-json, paths-json, baseUrl) per
+    tsconfig.json sitting at a project root. The reference feeds tsconfig
+    into the TS program (analyzer.ts:11-33 parseJsonConfigFileContent):
+    file selection comes from ``include``/``exclude``; module resolution
+    honors ``compilerOptions.paths`` aliases under ``baseUrl``. The values
+    ride as raw JSON strings; the in-UDF code parses them."""
     from pyspark.sql import functions as F
 
     return (
@@ -193,7 +196,11 @@ def _ts_config_dim(source_df):
         .filter(F.lower(F.element_at(F.split(F.col("path"), "/"), -1)) == "tsconfig.json")
         .select("repo", _dir_of_path().alias("dir"),
                 F.get_json_object(F.col("content"), "$.include").alias("inc"),
-                F.get_json_object(F.col("content"), "$.exclude").alias("exc"))
+                F.get_json_object(F.col("content"), "$.exclude").alias("exc"),
+                F.get_json_object(F.col("content"),
+                                  "$.compilerOptions.paths").alias("tspaths"),
+                F.get_json_object(F.col("content"),
+                                  "$.compilerOptions.baseUrl").alias("tsbase"))
     )
 
 
@@ -212,12 +219,14 @@ def scan_ts_projects(source_df) -> dict | None:
 
 
 def scan_ts_configs(source_df) -> dict | None:
-    """{(repo, project_dir): (include_json, exclude_json)} for the broadcast
-    path; ``None`` over the cap (join mode attaches the columns instead)."""
+    """{(repo, project_dir): (include_json, exclude_json, paths_json,
+    base_url)} for the broadcast path; ``None`` over the cap (join mode
+    attaches the columns instead)."""
     rows = _ts_config_dim(source_df).limit(MAX_DIM_ROWS + 1).collect()
     if len(rows) > MAX_DIM_ROWS:
         return None
-    return {(r["repo"], r["dir"]): (r["inc"], r["exc"]) for r in rows}
+    return {(r["repo"], r["dir"]): (r["inc"], r["exc"], r["tspaths"],
+                                    r["tsbase"]) for r in rows}
 
 
 def attach_ts_projects(source_df):
@@ -252,7 +261,9 @@ def attach_ts_projects(source_df):
     cfg = (_ts_config_dim(source_df)
            .select("repo", F.col("dir").alias("ts_project_dir"),
                    F.col("inc").alias("ts_includes"),
-                   F.col("exc").alias("ts_excludes")))
+                   F.col("exc").alias("ts_excludes"),
+                   F.col("tspaths").alias("ts_paths"),
+                   F.col("tsbase").alias("ts_baseurl")))
     resolved = resolved.join(cfg, ["repo", "ts_project_dir"], "left")
     return source_df.join(resolved, ["repo", "path"], "left")
 

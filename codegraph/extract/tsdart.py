@@ -151,6 +151,51 @@ def _tsconfig_selects(rel_in_project: str, inc_json: str | None,
     return True
 
 
+def _resolve_path_alias(spec: str, paths_json: str | None,
+                        base_url: str | None) -> str | None:
+    """``compilerOptions.paths`` alias resolution (the documented subset of
+    TS module resolution the analyzer gets via parseJsonConfigFileContent,
+    analyzer.ts:11-52): the FIRST matching pattern wins, its first
+    substitution applies, '*' captures the specifier suffix; the result is
+    joined under ``baseUrl`` (default the project root). Returns a
+    project-root-relative path, or None when no alias matches (the
+    specifier then stays a bare package import)."""
+    if not paths_json:
+        return None
+    import json
+
+    try:
+        paths = json.loads(paths_json)
+    except ValueError:
+        return None
+    if not isinstance(paths, dict):
+        return None
+    base = base_url or "."
+    if base.startswith("./"):
+        base = base[2:]
+    base = base.strip("/")
+    for pat, targets in paths.items():
+        if not isinstance(targets, list) or not targets or \
+                not isinstance(targets[0], str):
+            continue
+        tgt = targets[0]
+        if pat.endswith("*"):
+            pre = pat[:-1]
+            if not spec.startswith(pre):
+                continue
+            mapped = tgt.replace("*", spec[len(pre):], 1)
+        elif spec == pat:
+            mapped = tgt
+        else:
+            continue
+        if mapped.startswith("./"):
+            mapped = mapped[2:]
+        if base and base != ".":
+            mapped = posixpath.join(base, mapped)
+        return posixpath.normpath(mapped)
+    return None
+
+
 def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
                min_acc: int, ts_projects: dict,
                resolved: tuple | None = None,
@@ -167,11 +212,13 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
     # ``resolved`` carries the Spark-side path-prefix-join answer when the
     # package dim was too big to broadcast (dispatch.attach_ts_projects);
     # otherwise walk the broadcast dict up the ancestor chain.
-    inc_json = exc_json = None
+    inc_json = exc_json = paths_json = base_url = None
     if resolved is not None:
         project, project_dir = resolved[0], resolved[1]
         if len(resolved) > 2:
             inc_json, exc_json = resolved[2], resolved[3]
+        if len(resolved) > 4:
+            paths_json, base_url = resolved[4], resolved[5]
     else:
         project = None
         project_dir = None
@@ -185,7 +232,10 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
                 break
             d = posixpath.dirname(d)
         if project is not None and ts_configs:
-            inc_json, exc_json = ts_configs.get((repo, project_dir), (None, None))
+            cfg = ts_configs.get((repo, project_dir)) or (None, None)
+            inc_json, exc_json = cfg[0], cfg[1]
+            if len(cfg) > 2:
+                paths_json, base_url = cfg[2], cfg[3]
     if project is None:
         return  # no package.json ancestor -> analyzer skipped the file
 
@@ -214,8 +264,13 @@ def extract_ts(em: Emitter, content: str, repo: str, file_key: str,
         spec = m.group(1)
         line = _line_of(content, m.start())
         is_rel = spec.startswith(".") or spec.startswith("/")
-        if is_rel:
-            to_file = posixpath.normpath(posixpath.join(posixpath.dirname(rel_in_project), spec))
+        # compilerOptions.paths aliases resolve like relative file imports
+        # (the TS module resolver the analyzer's program uses honors them)
+        aliased = None if is_rel else _resolve_path_alias(spec, paths_json,
+                                                          base_url)
+        if is_rel or aliased is not None:
+            to_file = aliased if aliased is not None else posixpath.normpath(
+                posixpath.join(posixpath.dirname(rel_in_project), spec))
             if not posixpath.splitext(to_file)[1]:
                 to_file += ".ts"
             to_symbol = to_file

@@ -173,6 +173,12 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # when the dep also chains, _dep.Self().Run()) — binds the
             # second member through the head's return type
             "has_chain": rng.random() < 0.30,
+            # lambda bodies: statement lambda assigned to a local + a
+            # typed-lambda argument whose body calls through the param type
+            "has_lambda": rng.random() < 0.30,
+            # generic method with a constraint clause (displays ignore
+            # `where T : ...` per CSharpErrorMessageFormat)
+            "has_constraint": rng.random() < 0.25,
             # extension-method call site _dep.Boost(5): only classes whose
             # dep is the hot class 0 (the repo's Fluent static class extends
             # class 0)
@@ -487,6 +493,31 @@ def _render_one_class(c: dict) -> list:
         if dep and c.get("dep_has_chain"):
             lines.append("        _dep.Self().Run();")
         lines.append("    }")
+    if c.get("has_lambda"):
+        # statement lambda: the body call attributes to Sweep (Roslyn walks
+        # lambda bodies as part of the enclosing member); the typed-lambda
+        # argument resolves d through its declared param type
+        lines.append("    public void Sweep()")
+        lines.append("    {")
+        lines.append("        Action go = () => Run();")
+        lines.append("        go();")
+        if dep:
+            lines.append(f"        Batch(({dep} d) => d.Run());")
+        lines.append("    }")
+        if dep:
+            lines.append(f"    private void Batch(Action<{dep}> op)")
+            lines.append("    {")
+            lines.append("    }")
+    if c.get("has_constraint"):
+        # constraint clause never reaches the display: 'Clamp<T>(T)'
+        lines.append("    public T Clamp<T>(T item) where T : notnull")
+        lines.append("    {")
+        lines.append("        return item;")
+        lines.append("    }")
+        lines.append("    public void UseClamp()")
+        lines.append("    {")
+        lines.append("        Clamp(9);")
+        lines.append("    }")
     if c.get("has_extcall") and dep:
         # receiver-typed extension call: Boost is declared on the repo's
         # static Fluent class with `this {class0}` — no instance member
@@ -603,7 +634,8 @@ def _render_packagejson(spec: dict) -> str:
 
 def _render_tsconfig(spec: dict) -> str:
     return ('{\n  "include": ["src"],\n  "exclude": ["src/legacy"],\n'
-            '  "compilerOptions": { "strict": true }\n}\n')
+            '  "compilerOptions": { "strict": true, "baseUrl": ".",\n'
+            '    "paths": { "@web/*": ["src/*"] } }\n}\n')
 
 
 def _render_packagejson_noname(spec: dict) -> str:
@@ -657,6 +689,7 @@ def _render_ts(spec: dict) -> str:
     i = spec.get("i", 0)
     abstract = "abstract " if spec.get("abstract") else ""
     return f"""import {{ Helper }} from './helper';
+import {{ Base }} from '@web/base';
 import React from 'react';
 
 /** doc for Widget{i} */

@@ -149,6 +149,20 @@ members AS (
            || ')', NULL
   FROM tdisp WHERE regexp_matches(line, '^    public [\w.<>]+ \w+<[\w, ]+>\([^)]*\)$')
   UNION ALL
+  -- generic method WITH a constraint clause: the display still ignores
+  -- `where T : ...` (CSharpErrorMessageFormat) -> 'Clamp<T>(T)'
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         regexp_extract(line, '^    public [\w.<>]+ (\w+)<', 1)
+           || regexp_extract(line, '^    public [\w.<>]+ \w+(<[\w, ]+>)\(', 1)
+           || '(' ||
+           array_to_string(
+             list_transform(
+               list_filter(string_split(regexp_extract(line, '\(([^)]*)\)', 1), ','),
+                           p -> trim(p) != ''),
+               p -> string_split(trim(p), ' ')[1]), ', ')
+           || ')', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public [\w.<>]+ \w+<[\w, ]+>\([^)]*\) where ')
+  UNION ALL
   -- expression-bodied properties: IPropertySymbol, not a field
   SELECT repo, path, ns, ln, type_display, 'Property',
          regexp_extract(line, '^    public int (\w+) =>', 1), NULL
@@ -246,6 +260,7 @@ SELECT repo, path,
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+\\(\\) => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Self\\(\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static int Boost\\(this \\w+ w, int amount\\)$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\) where ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
                             AND NOT regexp_matches(l, '^    public static (implicit|explicit) operator ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static (implicit|explicit) operator '))) AS n_methods,
@@ -608,6 +623,27 @@ calls AS (
   SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        _dep\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- statement lambda assigned to a local: the body call attributes to the
+  -- enclosing method (Roslyn walks lambda bodies as part of the member);
+  -- the later go() invocation targets Delegate.Invoke -> dangles
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Action go = \\(\\) => Run\\(\\);$')
+  UNION ALL
+  -- typed-lambda argument: Batch(...) is a real own-type invocation AND
+  -- the lambda body call binds through the declared param type
+  SELECT repo, path, cur_method, type_display, NULL,
+         'Batch(Action<' || regexp_extract(line, '^        Batch\\(\\((\\w+) d\\)', 1) || '>)'
+  FROM body WHERE regexp_matches(line, '^        Batch\\(\\(\\w+ d\\) => d\\.Run\\(\\)\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display,
+         regexp_extract(line, '^        Batch\\(\\((\\w+) d\\)', 1), 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Batch\\(\\(\\w+ d\\) => d\\.Run\\(\\)\\);$')
+  UNION ALL
+  -- constrained generic method call: bare-name lookup, arity match, the
+  -- display ignores the constraint clause
+  SELECT repo, path, cur_method, type_display, NULL, 'Clamp<T>(T)'
+  FROM body WHERE regexp_matches(line, '^        Clamp\\(9\\);$')
   UNION ALL
   -- extension-method call _dep.Boost(5): no instance member named Boost on
   -- the receiver -> binds to the static Fluent method; the display keeps

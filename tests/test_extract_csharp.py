@@ -360,3 +360,93 @@ def test_struct_and_record_types():
             for r in rows if r["rec"] == "rel"}
     assert ("r:MyApp.Core.Point", "src__CONTAINS", "r:MyApp.Core.Point.X") in rels
     assert ("r:MyApp.Core.Note", "src__CONTAINS", "r:MyApp.Core.Note.Id") in rels
+
+
+def test_lambda_body_calls_and_typed_params():
+    """Calls inside lambda bodies attribute to the ENCLOSING member (Roslyn
+    walks the whole body, MemberDependencyExtractor.cs:77-104); explicitly
+    typed lambda params act as typed locals for receiver resolution."""
+    src = """using MyApp.Core;
+
+namespace MyApp.Feature;
+
+public class Sweeper
+{
+    public void Sweep()
+    {
+        Action go = () => Tick();
+        Batch((Helper d) => d.Fix());
+    }
+    private void Tick()
+    {
+    }
+    private void Batch(Action<Helper> op)
+    {
+    }
+}
+"""
+    rows = _extract_one("r", "src/MyApp/Sweeper.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    mentions = [r for r in rows if r["rec"] == "mention"]
+    own = {(m["m_name"], m["m_recv"]) for m in mentions
+           if m["m_kind"] == "invoke"}
+    # lambda-body own-type call binds from the enclosing method
+    assert ("Tick", "MyApp.Feature.Sweeper") in own
+    # typed lambda param resolves the receiver type
+    via = {(m["m_name"], m["m_recv"]) for m in mentions
+           if m["m_kind"] == "invoke_via"}
+    assert ("Fix", "Helper") in via
+    # the Batch(...) call itself is still a real invocation
+    assert ("Batch", "MyApp.Feature.Sweeper") in own
+
+
+def test_generic_constraint_clause_stripped_from_displays():
+    """`where T : ...` clauses never reach a Roslyn display
+    (CSharpErrorMessageFormat); the declaration still parses."""
+    src = """namespace MyApp.Feature;
+
+public class Holder<T> where T : class
+{
+    public T Clamp<U>(U item) where U : notnull
+    {
+        return default;
+    }
+    public void Use()
+    {
+        Clamp(7);
+    }
+}
+"""
+    rows = _extract_one("r", "src/MyApp/Holder.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    syms = {r["key"] for r in rows if r["rec"] == "symbol"}
+    assert "r:MyApp.Feature.Holder<T>" in syms
+    assert "r:MyApp.Feature.Holder<T>.Clamp<U>(U)" in syms
+    calls = {(m["m_name"], m["m_nargs"]) for m in rows
+             if m["rec"] == "mention" and m["m_kind"] == "invoke"}
+    assert ("Clamp", 1) in calls
+
+
+def test_retsig_and_extsig_records():
+    """Method declarations emit return-token records; `this`-param methods
+    emit extension-signature records (chained-call / extension binding)."""
+    src = """namespace MyApp.Feature;
+
+public static class Ext
+{
+    public static int Boost(this Widget w, int amount)
+    {
+        return amount;
+    }
+}
+"""
+    rows = _extract_one("r", "src/MyApp/Ext.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    rets = [r for r in rows if r["rec"] == "mention" and r["m_kind"] == "retsig"]
+    assert any(r["m_name"] == "Boost" and r["m_recv"] == "MyApp.Feature.Ext"
+               and r["m_head"] == "int" for r in rets)
+    exts = [r for r in rows if r["rec"] == "mention" and r["m_kind"] == "extsig"]
+    assert any(r["m_name"] == "Boost" and r["m_recv"] == "Widget"
+               and r["m_nargs"] == 1
+               and r["m_head"] == "MyApp.Feature.Ext.Boost(Widget, int)"
+               for r in exts)

@@ -549,3 +549,35 @@ extension Longer on String {
             "dart_app/lib/m.dart:method:lock:2") in rels
     assert ("dart_app/lib/m.dart:extension:Longer:4", "src__CONTAINS",
             "dart_app/lib/m.dart:method:twice:5") in rels
+
+
+def test_ts_path_alias_resolution():
+    """compilerOptions.paths aliases resolve like relative file imports
+    (the analyzer's program honors them, analyzer.ts:11-52); non-matching
+    bare specifiers stay package imports."""
+    from codegraph.extract.tsdart import _resolve_path_alias
+
+    paths = '{"@web/*": ["src/*"], "util": ["lib/util"]}'
+    assert _resolve_path_alias("@web/base", paths, ".") == "src/base"
+    assert _resolve_path_alias("@web/a/b", paths, None) == "src/a/b"
+    assert _resolve_path_alias("util", paths, "app") == "app/lib/util"
+    assert _resolve_path_alias("react", paths, ".") is None
+    assert _resolve_path_alias("@web/base", None, ".") is None
+
+    src = ("import { Base } from '@web/base';\n"
+           "import React from 'react';\n"
+           "export class W {\n}\n")
+    ts_projects = {("r", "web"): "webapp"}
+    cfg = {("r", "web"): (None, None, '{"@web/*": ["src/*"]}', ".")}
+    rows = _extract_one("r", "web/src/w.ts", src, PRIV, ts_projects, {}, cfg)
+    rels = {(r["src_key"], r["dst_key"]) for r in rows if r["rec"] == "rel"}
+    # aliased import resolves to a FILE target under the project root
+    assert ("web/src/w.ts:file:src/w.ts:1",
+            "web/src/base.ts:file:src/base.ts") in rels
+    # bare package import unchanged
+    assert any(d == "web/src/w.ts:package:react" for _s, d in rels)
+    # without paths, the alias falls back to a package import named '@web'
+    cfg2 = {("r", "web"): (None, None)}
+    rows2 = _extract_one("r", "web/src/w.ts", src, PRIV, ts_projects, {}, cfg2)
+    rels2 = {r["dst_key"] for r in rows2 if r["rec"] == "rel"}
+    assert "web/src/w.ts:package:@web" in rels2
