@@ -206,7 +206,7 @@ def _parse_params(pstr: str) -> list[tuple[str, str]]:
 class _Type:
     __slots__ = ("name", "name_tok", "kind", "ns", "acc", "start", "end",
                  "doc", "comments", "display", "key", "members", "fields",
-                 "is_enum", "is_interface", "parent", "body_depth")
+                 "is_enum", "is_interface", "parent", "body_depth", "bases")
 
     def __init__(self, name, name_tok, kind, ns, acc, start, doc, comments,
                  repo, parent: "_Type | None" = None):
@@ -230,6 +230,7 @@ class _Type:
         self.is_interface = kind == "interface"
         self.parent = parent
         self.body_depth = 0
+        self.bases = []  # declared base-list tokens (class X : Base, IFoo)
 
 
 def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
@@ -318,6 +319,15 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             name_tok = mt.group("name") + (mt.group("targs") or "")
             t = _Type(mt.group("name"), name_tok, mt.group("tkind"),
                       file_ns or "", acc, lineno, doc, com, repo, parent)
+            # declared base list (class X : Base, IFoo): tokens feed the
+            # link-time inherited-member expansion (Roslyn binds calls on a
+            # derived type to the BASE's declaring member symbol); C# base
+            # types emit no DEPENDS_ON edge themselves (unlike TS/Dart
+            # heritage — RoslynSymbolProcessor has no heritage edge)
+            mb = re.match(r"\s*:\s*([\w.<>, ]+)", raw_decl[mt.end():])
+            if mb:
+                t.bases = [b.strip() for b in mb.group(1).split(",")
+                           if b.strip()]
             # type body: wait for open brace
             depth += opens - closes
             while "{" not in raw:
@@ -520,6 +530,12 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             # nested type is also a member of the outer type -> CONTAINS
             # (ProcessMemberSymbol over tds.Members, RoslynSymbolProcessor.cs:288)
             em.rel(t.parent.key, t.key, R_CONTAINS)
+        for b in t.bases:
+            # declared base-list record: feeds the link-time
+            # inherited-member dictionary expansion (Roslyn binds calls on
+            # a derived type to the BASE's declaring member); base types
+            # emit no C# DEPENDS_ON edge themselves
+            em.mention("basesig", t.key, "", b, t.display, cand_ns, None)
 
         # own-type method signature map (overload-aware; used for method
         # groups and same-class argument conversions)

@@ -179,6 +179,9 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # generic method with a constraint clause (displays ignore
             # `where T : ...` per CSharpErrorMessageFormat)
             "has_constraint": rng.random() < 0.25,
+            # derived sibling class {name}Kid : {name} whose body calls an
+            # INHERITED member (binds to the base's declaring symbol)
+            "has_derived": rng.random() < 0.25,
             # extension-method call site _dep.Boost(5): only classes whose
             # dep is the hot class 0 (the repo's Fluent static class extends
             # class 0)
@@ -570,6 +573,18 @@ def _render_one_class(c: dict) -> list:
         lines.append("        public int Size { get; set; }")
         lines.append("    }")
     lines.append("}")
+    if c.get("has_derived") and (not dep or not c["has_ctor"]):
+        # derived sibling: only when the base has a parameterless ctor
+        # (explicit or implicit), so the implicit Kid ctor compiles; the
+        # inherited Run() call binds to the BASE's declaring symbol
+        lines.append("")
+        lines.append(f"public class {name}Kid : {name}")
+        lines.append("{")
+        lines.append("    public void Ride()")
+        lines.append("    {")
+        lines.append("        Run();")
+        lines.append("    }")
+        lines.append("}")
     if c["has_iface"]:
         lines.append("")
         lines.append(f"public interface I{name}")

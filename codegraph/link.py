@@ -262,7 +262,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # recovery joins stay compact. Side-channel records (retsig/extsig/
     # global_using) never resolve, so they stay out of the dim too.
     dim = (mentions.filter(~F.col("m_kind").isin("retsig", "extsig",
-                                                 "global_using"))
+                                                 "basesig", "global_using"))
            .select("repo", "mid", "m_kind", "m_from_key", "m_rel",
                    "m_name", "m_recv", "m_nargs", "m_args", "m_head")
            .dropDuplicates(["repo", "mid"]))
@@ -293,6 +293,39 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     resolved_full = resolved_t.join(dim, ["repo", "mid"])
 
     type_edges = _as_edge(resolved_full.filter(kind == "type"), "t_key")
+
+    # --- inherited members: resolve declared base lists (basesig records)
+    #     and pre-expand the member dictionary so EVERY lookup path (plain
+    #     invocation, chain tail, extension-fallback trigger) sees base
+    #     members at a deeper rank — Roslyn binds the call to the BASE's
+    #     declaring symbol, and an own member hides a base member ------------
+    base_sig = mentions.filter(F.col("m_kind") == "basesig")
+    resolved_bases = _resolve_types(
+        base_sig.select("repo", "mid",
+                        F.col("m_name").alias("resolve_tok"), "m_usings"),
+        types, salt, global_ns)
+    bdim = (base_sig.select("repo", "mid",
+                            F.col("m_recv").alias("derived_display"))
+            .dropDuplicates(["repo", "mid"]))
+    bases = (resolved_bases.join(bdim, ["repo", "mid"])
+             .select(F.col("repo").alias("b_repo"), "derived_display",
+                     F.col("t_display").alias("base_display"))
+             .distinct())
+
+    def _inherit(mbrs: DataFrame, depth: int) -> DataFrame:
+        return (mbrs.join(bases,
+                          on=[mbrs.mm_repo == bases.b_repo,
+                              mbrs.type_display == bases.base_display])
+                .filter(F.col("lookup_name") != "<ctor>")  # ctors don't inherit
+                .select("mm_repo",
+                        F.col("derived_display").alias("type_display"),
+                        "lookup_name", "nparams", "params", "member_key")
+                .withColumn("depth", F.lit(depth)))
+
+    own_members = members.withColumn("depth", F.lit(0))
+    lvl1 = _inherit(members, 1)
+    lvl2 = _inherit(lvl1.drop("depth"), 2)  # grandparent, bounds the subset
+    members = own_members.unionByName(lvl1).unionByName(lvl2)
 
     # --- pass 2: member lookup ----------------------------------------------
     # own-type invocations (incl. method groups) skip type resolution: m_recv
@@ -402,8 +435,15 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         .when(F.col("m_nargs").isNull(), F.lit(1))
         .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
         .otherwise(F.lit(99)))
-    joined = joined.withColumn("_rank", rank * 10 + F.col("lrank")) \
-        .filter(F.col("_rank") < 990)
+    # rank folds (overload-rank, inheritance depth, lookup order): an own
+    # member at arity rank still beats a base member at param-exact rank?
+    # No — Roslyn checks applicability per declaring scope from the most
+    # derived type outward, but hiding only kicks in for the SAME signature
+    # shape; the fold below prefers better overload rank first, then the
+    # shallower declaration, matching the subset's hiding shapes
+    joined = joined.withColumn(
+        "_rank", rank * 100 + F.col("depth") * 10 + F.col("lrank")) \
+        .filter(F.col("_rank") < 9900)
     ranked = (
         joined.groupBy("repo", "mid")
         .agg(F.min("_rank").alias("_r0"),
@@ -416,11 +456,13 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
              F.max(F.coalesce(F.col("norm_args").contains("?"), F.lit(False)))
              .alias("_unk"))
     )
-    # arity-rank (rank 1 -> _rank 10..19) ties with unclassified args have no
-    # principled winner: Roslyn would bind via conversions the lexer cannot
-    # see, or report ambiguity — either way, guessing is wrong => no edge.
-    # Method groups (m_args null) keep the deterministic min-key pick.
-    ambiguous = (F.col("_unk") & (F.col("_r0") >= 10) & (F.col("_r0") < 20)
+    # arity-rank (rank 1 -> _rank 100..121) ties with unclassified args have
+    # no principled winner: Roslyn would bind via conversions the lexer
+    # cannot see, or report ambiguity — either way, guessing is wrong => no
+    # edge. Cross-depth candidates are NOT ties (the depth term separates
+    # them: the shallower declaration hides the base one). Method groups
+    # (m_args null) keep the deterministic min-key pick.
+    ambiguous = (F.col("_unk") & (F.col("_r0") >= 100)
                  & (F.col("member_key") != F.col("_maxk")))
     member_edges = _as_edge(
         ranked.filter(~ambiguous)

@@ -52,7 +52,8 @@ cs_lines AS (
 # user-defined operator and conversion declarations.
 CS_CTX = r"""marks AS (
   SELECT repo, path, ns, ln, line,
-         nullif(regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1), '') AS tdecl,
+         nullif(regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)(?: : \w+)?$', 1), '') AS tdecl,
+         regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) \w+(?:<[\w, ]+>)? : (\w+)$', 1) AS bdecl,
          CASE WHEN regexp_matches(line, '^public enum ') THEN TRUE ELSE FALSE END AS is_enum_decl
   FROM cs_lines
 ),
@@ -61,6 +62,9 @@ ctx AS (
          last_value(tdecl IGNORE NULLS)
            OVER (PARTITION BY repo, path ORDER BY ln
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_type,
+         last_value(CASE WHEN tdecl IS NOT NULL THEN coalesce(bdecl, '') END IGNORE NULLS)
+           OVER (PARTITION BY repo, path ORDER BY ln
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_base,
          last_value(CASE WHEN tdecl IS NOT NULL THEN is_enum_decl END IGNORE NULLS)
            OVER (PARTITION BY repo, path ORDER BY ln
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_is_enum
@@ -210,9 +214,9 @@ cs_types AS (
   -- declaring file, exactly like ProcessSymbol per syntax tree)
   SELECT repo, path, ns, ln,
          regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+)', 1) AS name,
-         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1)
-              ELSE ns || '.' || regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)$', 1) END AS display
-  FROM cs_lines WHERE regexp_matches(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) \w+(<[\w, ]+>)?$')
+         CASE WHEN ns = '' THEN regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)(?: : \w+)?$', 1)
+              ELSE ns || '.' || regexp_extract(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) (\w+(?:<[\w, ]+>)?)(?: : \w+)?$', 1) END AS display
+  FROM cs_lines WHERE regexp_matches(line, '^public (?:static )?(?:partial )?(?:class|interface|enum|struct|record) \w+(<[\w, ]+>)?( : \w+)?$')
   UNION ALL
   SELECT repo, path, ns, ln, 'Inner', nested_display
   FROM nested_types
@@ -505,7 +509,7 @@ msig AS (
   FROM member_keys WHERE mkind = 'Method'
 ),
 body AS (
-  SELECT t.repo, t.path, t.ns, t.ln, t.line, t.type_display,
+  SELECT t.repo, t.path, t.ns, t.ln, t.line, t.type_display, t.cur_base,
          (SELECT max_by(m.member_display, m.ln) FROM msig m
           WHERE m.repo = t.repo AND m.path = t.path AND m.ln <= t.ln) AS cur_method
   FROM tdisp t WHERE regexp_matches(t.line, '^        ')
@@ -528,8 +532,9 @@ calls AS (
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        _dep\\.Run\\(\\);$')
   UNION ALL
-  -- this.Run() / Run()
-  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  -- this.Run() / Run(): inside a derived class (NameKid : Name) the
+  -- inherited call binds to the BASE's declaring symbol
+  SELECT repo, path, cur_method, type_display, nullif(cur_base, ''), 'Run()'
   FROM body WHERE regexp_matches(line, '^        (this\\.)?Run\\(\\);$')
   UNION ALL
   -- arrow-body own-type call: public int Peek() => Grab();

@@ -216,3 +216,81 @@ public class User
     src = "r1:App.User.Go()"
     assert (src, "src__INVOKES", "r1:Lib.Widget.Boost(int)") in edges
     assert (src, "src__INVOKES", "r1:Lib.Ext.Boost(Widget, int)") not in edges
+
+
+BASE_KID = """namespace Lib;
+
+public class Animal
+{
+    public void Speak()
+    {
+    }
+    public void Shared(int a)
+    {
+    }
+}
+
+public class Dog : Animal
+{
+    public void Fetch()
+    {
+        Speak();
+    }
+    public void Shared(int a)
+    {
+    }
+}
+"""
+
+
+def test_inherited_member_binds_to_base_declaration(spark):
+    """Roslyn binds a call on a derived type to the BASE's declaring member
+    symbol; the member dictionary pre-expands base members at depth rank."""
+    edges = _edges(spark, [("src/Lib/Animals.cs", BASE_KID), ("src/App/U.cs", """using Lib;
+
+namespace App;
+
+public class U
+{
+    private readonly Dog _d;
+    public void Go()
+    {
+        _d.Speak();
+        _d.Shared(1);
+    }
+}
+""")])
+    src = "r1:App.U.Go()"
+    # inherited method -> base declaring symbol
+    assert (src, "src__INVOKES", "r1:Lib.Animal.Speak()") in edges
+    # hiding: the derived re-declaration wins over the base one
+    assert (src, "src__INVOKES", "r1:Lib.Dog.Shared(int)") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Animal.Shared(int)") not in edges
+    # own-type call inside the derived class also binds to the base
+    assert ("r1:Lib.Dog.Fetch()", "src__INVOKES", "r1:Lib.Animal.Speak()") in edges
+
+
+def test_two_level_inheritance(spark):
+    files = [("src/Lib/Chain.cs", """namespace Lib;
+
+public class A
+{
+    public void Root()
+    {
+    }
+}
+
+public class B : A
+{
+}
+
+public class C : B
+{
+    public void Leaf()
+    {
+        Root();
+    }
+}
+""")]
+    edges = _edges(spark, files)
+    assert ("r1:Lib.C.Leaf()", "src__INVOKES", "r1:Lib.A.Root()") in edges
