@@ -847,7 +847,12 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
         if k in seen:
             continue
         seen.add(k)
-        if recv is None or recv == "this":
+        if recv == "base":
+            # base.M() binds in the BASE type's scope (Roslyn base-access
+            # lookup); link maps the own display through the basesig dim
+            em.mention("invoke_base", caller_key, R_INVOKES, name, t.display,
+                       [], nargs, m_args=args)
+        elif recv is None or recv == "this":
             # own-type call: resolve against own type display directly
             em.mention("invoke", caller_key, R_INVOKES, name, t.display, [],
                        nargs, m_args=args)

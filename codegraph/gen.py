@@ -379,6 +379,10 @@ def _render_one_class(c: dict) -> list:
         lines.append(f"    public {dep} Item {{ get; set; }}")
     if c["has_event"]:
         lines.append("    public event EventHandler Changed;")
+    if c["has_iface"]:
+        # interface-typed receiver: the call binds to the INTERFACE member
+        # symbol (Roslyn binds through the static receiver type)
+        lines.append(f"    private readonly I{name} _port;")
     if c["has_ctor"]:
         if dep:
             lines.append(f"    public {name}({dep} dep)")
@@ -403,6 +407,11 @@ def _render_one_class(c: dict) -> list:
     lines.append("        this.Run();")
     lines.append("        return id.ToString();")
     lines.append("    }")
+    if c["has_iface"]:
+        lines.append("    public void UsePort()")
+        lines.append("    {")
+        lines.append("        _port.Start();")
+        lines.append("    }")
     if c.get("has_overload"):
         # arity overload of Get + a same-arity pair resolved by param tokens
         lines.append("    public string Get(int id, string tag)")
@@ -583,6 +592,7 @@ def _render_one_class(c: dict) -> list:
         lines.append("    public void Ride()")
         lines.append("    {")
         lines.append("        Run();")
+        lines.append("        base.Run();")  # base-access: same declaring symbol
         lines.append("    }")
         lines.append("}")
     if c["has_iface"]:

@@ -335,10 +335,17 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     own = (dim.filter(kind == "invoke")
            .withColumn("t_display", F.col("m_recv"))
            .select(*mem_cols))
+    # base.M(): substitute the caller's own display with its declared base
+    # (Roslyn base-access binds in the base type's scope); no base -> drop
+    own_base = (dim.filter(kind == "invoke_base")
+                .join(bases, on=[F.col("repo") == F.col("b_repo"),
+                                 F.col("m_recv") == F.col("derived_display")])
+                .withColumn("t_display", F.col("base_display"))
+                .select(*mem_cols))
     member_mentions = resolved_full.filter(
         kind.isin("ctor", "invoke_via", "invoke_static", "op",
                   "conv_impl", "conv_expl")).select(*mem_cols) \
-        .unionByName(own)
+        .unionByName(own).unionByName(own_base)
     impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
     expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
     lookups = (F.when(kind == "ctor", F.array(F.lit("<ctor>")))

@@ -518,6 +518,10 @@ fields AS (
   SELECT repo, path, regexp_extract(line, '^    private readonly (\\w+) _dep;', 1) AS ftype
   FROM tdisp WHERE regexp_matches(line, '^    private readonly \\w+ _dep;')
 ),
+pfields AS (
+  SELECT repo, path, regexp_extract(line, '^    private readonly (I\\w+) _port;', 1) AS ptype
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly I\\w+ _port;')
+),
 cmb AS (
   -- Combine's dep type per (repo, path, type): the operand type of every
   -- operator/conversion USE statement in its body
@@ -536,6 +540,16 @@ calls AS (
   -- inherited call binds to the BASE's declaring symbol
   SELECT repo, path, cur_method, type_display, nullif(cur_base, ''), 'Run()'
   FROM body WHERE regexp_matches(line, '^        (this\\.)?Run\\(\\);$')
+  UNION ALL
+  -- base.Run(): base-access binds in the base type's scope — the same
+  -- declaring symbol as the inherited call (DISTINCT collapses the pair)
+  SELECT repo, path, cur_method, type_display, nullif(cur_base, ''), 'Run()'
+  FROM body WHERE regexp_matches(line, '^        base\\.Run\\(\\);$') AND cur_base != ''
+  UNION ALL
+  -- interface-typed receiver _port.Start(): binds to the INTERFACE member
+  SELECT b.repo, b.path, b.cur_method, b.type_display, p.ptype, 'Start()'
+  FROM body b JOIN pfields p ON b.repo = p.repo AND b.path = p.path
+  WHERE regexp_matches(b.line, '^        _port\\.Start\\(\\);$')
   UNION ALL
   -- arrow-body own-type call: public int Peek() => Grab();
   SELECT repo, path,

@@ -294,3 +294,42 @@ public class C : B
 """)]
     edges = _edges(spark, files)
     assert ("r1:Lib.C.Leaf()", "src__INVOKES", "r1:Lib.A.Root()") in edges
+
+
+def test_base_access_and_interface_receiver(spark):
+    files = [("src/Lib/Port.cs", """namespace Lib;
+
+public class Holder
+{
+    public void Run()
+    {
+    }
+}
+
+public class Sub : Holder
+{
+    public void Go()
+    {
+        base.Run();
+    }
+}
+
+public interface IPort
+{
+    void Start();
+}
+
+public class App
+{
+    private readonly IPort _port;
+    public void Use()
+    {
+        _port.Start();
+    }
+}
+""")]
+    edges = _edges(spark, files)
+    # base-access binds in the base type's scope
+    assert ("r1:Lib.Sub.Go()", "src__INVOKES", "r1:Lib.Holder.Run()") in edges
+    # interface-typed receiver binds to the interface member symbol
+    assert ("r1:Lib.App.Use()", "src__INVOKES", "r1:Lib.IPort.Start()") in edges
