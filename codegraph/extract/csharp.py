@@ -385,6 +385,9 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                                      "Public" if cur.is_interface else "Private"),
                     "start": lineno, "end": lineno, "doc": doc, "com": com,
                 })
+                # properties act as typed receivers exactly like fields
+                # (Roslyn binds Item.Run() through the property's type)
+                cur.fields[mprop.group("name")] = mprop.group("type")
                 i += 1
                 continue
 

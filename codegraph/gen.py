@@ -412,6 +412,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append("        _port.Start();")
         lines.append("    }")
+    if c["has_prop2"] and dep:
+        # property-typed receiver: Item is the dep-typed auto-property —
+        # Roslyn binds through the property's declared type like a field
+        lines.append("    public void UseItem()")
+        lines.append("    {")
+        lines.append("        Item.Run();")
+        lines.append("    }")
     if c.get("has_overload"):
         # arity overload of Get + a same-arity pair resolved by param tokens
         lines.append("    public string Get(int id, string tag)")
@@ -539,8 +546,9 @@ def _render_one_class(c: dict) -> list:
         lines.append("        _dep.Boost(5);")
         lines.append("    }")
     if c.get("has_ambig"):
-        # same-arity overloads: Pick(Count) passes a property access the
-        # lexer cannot classify ('?') -> ambiguity -> NO edge; Pick(7)
+        # same-arity overloads: Pick(Count + 1) passes an EXPRESSION the
+        # lexer cannot classify ('?') -> ambiguity -> NO edge (properties
+        # themselves are classifiable receivers/args since round 4); Pick(7)
         # resolves to Pick(int) by literal token
         lines.append("    public void Pick(int a)")
         lines.append("    {")
@@ -550,7 +558,7 @@ def _render_one_class(c: dict) -> list:
         lines.append("    }")
         lines.append("    public void UsePick()")
         lines.append("    {")
-        lines.append("        Pick(Count);")
+        lines.append("        Pick(Count + 1);")
         lines.append("        Pick(7);")
         lines.append("    }")
     if c.get("has_ops"):

@@ -522,6 +522,11 @@ pfields AS (
   SELECT repo, path, regexp_extract(line, '^    private readonly (I\\w+) _port;', 1) AS ptype
   FROM tdisp WHERE regexp_matches(line, '^    private readonly I\\w+ _port;')
 ),
+itemp AS (
+  -- dep-typed Item auto-property per (repo, path): property-typed receiver
+  SELECT repo, path, regexp_extract(line, '^    public (\\w+) Item \\{{ get; set; \\}}', 1) AS itype
+  FROM tdisp WHERE regexp_matches(line, '^    public \\w+ Item \\{{ get; set; \\}}$')
+),
 cmb AS (
   -- Combine's dep type per (repo, path, type): the operand type of every
   -- operator/conversion USE statement in its body
@@ -550,6 +555,11 @@ calls AS (
   SELECT b.repo, b.path, b.cur_method, b.type_display, p.ptype, 'Start()'
   FROM body b JOIN pfields p ON b.repo = p.repo AND b.path = p.path
   WHERE regexp_matches(b.line, '^        _port\\.Start\\(\\);$')
+  UNION ALL
+  -- property-typed receiver Item.Run(): binds through the property's type
+  SELECT b.repo, b.path, b.cur_method, b.type_display, t.itype, 'Run()'
+  FROM body b JOIN itemp t ON b.repo = t.repo AND b.path = t.path
+  WHERE regexp_matches(b.line, '^        Item\\.Run\\(\\);$')
   UNION ALL
   -- arrow-body own-type call: public int Peek() => Grab();
   SELECT repo, path,
@@ -615,7 +625,7 @@ calls AS (
   FROM body WHERE regexp_matches(line, '^        Echo\\(5\\);$')
   UNION ALL
   -- same-arity overload resolved by literal token; the sibling line
-  -- Pick(Count); is deliberately NOT enumerated: an unclassifiable argument
+  -- Pick(Count + 1); is deliberately NOT enumerated: an unclassifiable argument
   -- tying Pick(int)/Pick(string) is an ambiguity => NO edge
   SELECT repo, path, cur_method, type_display, NULL, 'Pick(int)'
   FROM body WHERE regexp_matches(line, '^        Pick\\(7\\);$')

@@ -130,13 +130,13 @@ public class Amb
     }
     public void Go()
     {
-        Fork(Count).Ping();
+        Fork(Count + 1).Ping();
     }
     public int Count { get; set; }
 }
 """)]
     edges = _edges(spark, files)
-    # Fork(Count): the argument is unclassifiable -> the same-arity overload
+    # Fork(Count + 1): the argument is unclassifiable -> the same-arity overload
     # tie is a Roslyn ambiguity error -> neither the head nor the chained
     # edge lands
     src = "r1:App.Amb.Go()"

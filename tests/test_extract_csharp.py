@@ -450,3 +450,34 @@ public static class Ext
                and r["m_nargs"] == 1
                and r["m_head"] == "MyApp.Feature.Ext.Boost(Widget, int)"
                for r in exts)
+
+
+def test_property_typed_receiver_and_expression_arg():
+    """Properties act as typed receivers (Roslyn binds Item.Run() through
+    the property's type); expression arguments stay unclassifiable."""
+    src = """namespace MyApp.Feature;
+
+public class Holder
+{
+    public Helper Item { get; set; }
+    public int Count { get; set; }
+    public void Go()
+    {
+        Item.Fix();
+        Pick(Count);
+        Pick(Count + 1);
+    }
+    public void Pick(int a)
+    {
+    }
+}
+"""
+    rows = _extract_one("r", "src/MyApp/Holder.cs", src,
+                        ACC_ORDER["Private"], {}, {})
+    mentions = [r for r in rows if r["rec"] == "mention"]
+    via = {(m["m_name"], m["m_recv"]) for m in mentions
+           if m["m_kind"] == "invoke_via"}
+    assert ("Fix", "Helper") in via
+    picks = {m["m_args"] for m in mentions if m["m_name"] == "Pick"}
+    # property arg classifies through its declared type; expression stays '?'
+    assert picks == {"int", "?"}

@@ -96,7 +96,7 @@ public class Picker
     }
     public void UsePick()
     {
-        Pick(Count);
+        Pick(Count + 1);
         Pick(7);
     }
 }
@@ -107,7 +107,7 @@ def test_unknown_arg_overload_tie_drops(spark):
     edges = _edges(spark, [("src/App/Picker.cs", AMBIG)])
     invokes = {d for s, r, d in edges
                if r == "src__INVOKES" and s == "r1:App.Picker.UsePick()"}
-    # Pick(Count): the lexer cannot classify a property access -> '?' ties
+    # Pick(Count + 1): the lexer cannot classify an expression -> '?' ties
     # Pick(int) and Pick(string) at arity rank -> ambiguity -> only the
     # literal call Pick(7) resolves (param-token rank 0)
     assert invokes == {"r1:App.Picker.Pick(int)"}
