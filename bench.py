@@ -121,9 +121,26 @@ def main():
     run_kg_pipeline(spark, warm_dir)
 
     # headline 1: full KG pipeline (extraction -> linking -> materialized
-    # node/edge tables) on the synthetic source corpus at this sf
+    # node/edge tables) on the synthetic source corpus at this sf.
+    # Best-of-2 like every small query below: the host has documented 4x
+    # wall-time variance between adjacent windows, and a single-window
+    # headline systematically under-reports (the official r4 record read
+    # 1.5x below two same-shape runs minutes apart). The second window runs
+    # only while the budget keeps room for the scaling block (~20x one
+    # 8-core leg, conservatively priced from the first window).
     log(f"bench: kg_pipeline over {fixture_dir}")
-    t, (n_nodes, n_edges) = timed(lambda: run_kg_pipeline(spark, fixture_dir))
+    t1h, (n_nodes, n_edges) = timed(lambda: run_kg_pipeline(spark, fixture_dir))
+    headline_windows = [round(t1h, 3)]
+    elapsed = time.time() - t_start
+    if elapsed + t1h + 20.0 * t1h < budget:
+        t2h, _ = timed(lambda: run_kg_pipeline(spark, fixture_dir))
+        headline_windows.append(round(t2h, 3))
+        t = min(t1h, t2h)
+        log(f"bench: kg_pipeline windows {t1h:.1f}/{t2h:.1f}s")
+    else:
+        t = t1h
+        log(f"bench: budget guard: single headline window "
+            f"({elapsed:.0f}s elapsed, {t1h:.0f}s window, {budget:.0f}s budget)")
     queries["kg_pipeline"] = round(t, 3)
     triples_per_sec = round((n_nodes + n_edges) / t, 1)
     log(f"bench: kg_pipeline {n_nodes} nodes + {n_edges} edges in {t:.1f}s "
@@ -240,6 +257,56 @@ def main():
                        "thr": {str(k): round(v, 1) for k, v in thr.items()}}
             log("bench: scaling partial — not enough legs for an efficiency "
                 f"ratio ({legs_run}/{len(legs)})")
+        if os.environ.get("SPARK_GRAFT_SCALE_TOPO"):
+            # Separate-executor-JVM topology control (opt-in): the same job
+            # on local-cluster[W,1,mem] — one JVM per executor, 1 core + 5g
+            # heap each, ActiveProcessorCount=1 so each executor sizes
+            # GC/JIT for its single core. Thread-mode local[N] shares one
+            # JVM; if the 2->8 ceiling reproduces across separate JVMs, the
+            # cause is the host's memory subsystem, not shared-heap/GC/JIT
+            # artifacts (BENCH/BASELINE.md r2 prose — this block lands that
+            # control in the driver artifact itself). Single window per leg
+            # (a JVM-per-executor leg is ~1.5x the thread leg), priced off
+            # the measured thread walls for the budget guard.
+            topo_thr = {}
+            topo_legs = 0
+            for n in (8, 2):
+                est = 1.5 * wall.get(n, (90.0 if n == 8 else 180.0))
+                elapsed = time.time() - t_start
+                if elapsed + est > budget:
+                    log(f"bench: budget guard: skipping topology leg [{n}]")
+                    continue
+                s = get_spark(
+                    app_name=f"codegraph-topo-{n}", cores=n,
+                    master=f"local-cluster[{n},1,6144]",
+                    extra_conf={
+                        "spark.executor.memory": "5g",
+                        "spark.executor.extraJavaOptions":
+                            "-XX:ActiveProcessorCount=1",
+                    })
+                try:
+                    t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
+                    topo_thr[n] = (nn + ne) / t
+                    log(f"bench: topology local-cluster[{n},1] -> {t:.1f}s, "
+                        f"{(nn + ne) / t:.0f} triples/s")
+                finally:
+                    s.stop()
+                topo_legs += 1
+            if 8 in topo_thr and 2 in topo_thr:
+                topo_eff = round((topo_thr[8] / topo_thr[2]) / 4.0, 3)
+                block = {"cores_lo": 2, "cores_hi": 8,
+                         "thr_lo": round(topo_thr[2], 1),
+                         "thr_hi": round(topo_thr[8], 1),
+                         "efficiency": topo_eff,
+                         "topology": "local-cluster[N,1,6144] 5g APC=1",
+                         "legs_run": topo_legs}
+                if scaling is not None:
+                    scaling["topology_control"] = block
+                log(f"bench: topology efficiency (2->8) {topo_eff}")
+            elif topo_thr and scaling is not None:
+                scaling["topology_control"] = {
+                    "partial": True, "legs_run": topo_legs,
+                    "thr": {str(k): round(v, 1) for k, v in topo_thr.items()}}
         if cpus in thr and cpus != 8 and 8 in thr:
             eff_hi = round((thr[cpus] / thr[8]) / (cpus / 8.0), 3)
             scaling_hi = {"cores_lo": 8, "cores_hi": cpus,
@@ -256,6 +323,7 @@ def main():
         "sf": sf_name,
         "nodes": n_nodes,
         "edges": n_edges,
+        "kg_pipeline_windows": headline_windows,
     }
     if scaling:
         out["scaling"] = scaling

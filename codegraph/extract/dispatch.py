@@ -285,6 +285,21 @@ def collect_pkg_meta(pkg_metadata) -> dict | None:
                                       r["project_url"]) for r in rows}
 
 
+def pkg_dim_over_cap(pkg_metadata) -> bool:
+    """Cheap re-detection of the large-dim condition for callers holding a
+    PRECOMPUTED extraction output (checkpoint resume, staged bench runs):
+    they never called ``collect_pkg_meta``, so they must learn join mode
+    without pulling the dim to the driver. A column-pruned limit+count moves
+    at most MAX_DIM_ROWS+1 constant rows — no payload columns, no collect of
+    the metadata itself."""
+    if pkg_metadata is None:
+        return False
+    from pyspark.sql import functions as F
+
+    return (pkg_metadata.select(F.lit(1).alias("one"))
+            .limit(MAX_DIM_ROWS + 1).count()) > MAX_DIM_ROWS
+
+
 def pkg_urls_via_join(records, pkg_metadata):
     """Large-dim twin of the in-UDF nuspec/npm URL emission
     (``textlike.extract_csproj`` / ``extract_packagejson``, reference

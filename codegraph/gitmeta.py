@@ -2,8 +2,10 @@
 
 Replaces the reference's repo-wide ``git log`` prefetch + per-file dictionary
 probe (GitService.cs:17-94,221-255, GitLogParser.cs:65-114) with groupBy
-aggregations over the ``commit_log`` side table, broadcast-joined onto files
-(J9) — the Spark shape of "prefetch once, probe per file".
+aggregations over the ``commit_log`` side table, joined onto files (J9) with
+NO explicit broadcast — per-file stats scale with the corpus, so the
+broadcast-vs-shuffle decision is left to AQE's runtime size estimate
+(pipeline.py:319-326) — the Spark shape of "prefetch once, probe per file".
 """
 
 from __future__ import annotations

@@ -65,7 +65,23 @@ def checkpoint_stage(spark: SparkSession, ledger: Ledger, stage: str,
 
 
 def write_graph(nodes: DataFrame, edges: DataFrame, files: DataFrame,
-                out_dir: str) -> None:
+                out_dir: str, stamp: bool = False,
+                run_ts: float | None = None) -> None:
+    """Final graph export. With ``stamp=True`` every row carries the
+    reference's upsert-boundary provenance columns (UpsertSymbols.cypher:
+    18-19 sets ``updatedAt = datetime()`` + ``CodeToNeo4j = true`` on every
+    MERGE): ``updated_at`` is ONE constant-per-run timestamp — resolved
+    driver-side, never per-task, so re-executed tasks stay deterministic —
+    and ``code_to_neo4j`` reproduces the scoping flag a downstream Neo4j
+    load uses to find rows this tool owns. Literal columns are free at any
+    scale (constant-folded, no shuffle)."""
+    if stamp:
+        ts = F.timestamp_seconds(F.lit(run_ts if run_ts is not None
+                                       else time.time()))
+        def _stamped(df: DataFrame) -> DataFrame:
+            return (df.withColumn("updated_at", ts)
+                    .withColumn("code_to_neo4j", F.lit(True)))
+        nodes, edges, files = _stamped(nodes), _stamped(edges), _stamped(files)
     nodes.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "nodes"))
     edges.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -147,7 +163,11 @@ def _extract_stage(filtered: DataFrame, pkg_metadata: DataFrame | None,
 
     ts_projects = scan_ts_projects(filtered)
     ts_configs = scan_ts_configs(filtered) if ts_projects is not None else None
+    # over-cap pkg-metadata dim -> None: extract with an EMPTY dict (never
+    # broadcast None into the UDF), and leave the URL records to the
+    # Spark-side pkg_urls_via_join union — run_pipeline re-detects join mode
+    # when handed a precomputed extraction output (pkg_dim_over_cap)
     pkg_meta = collect_pkg_meta(pkg_metadata)
     src = filtered if ts_projects is not None else attach_ts_projects(filtered)
     return extract_records(src, ACC_ORDER[min_accessibility],
-                           ts_projects, pkg_meta, ts_configs=ts_configs)
+                           ts_projects, pkg_meta or {}, ts_configs=ts_configs)

@@ -28,8 +28,8 @@ from codegraph import canon, gitmeta, link
 from codegraph import schema as S
 from codegraph.extract import extract_records
 from codegraph.extract.dispatch import (attach_ts_projects, collect_pkg_meta,
-                                        pkg_urls_via_join, scan_ts_configs,
-                                        scan_ts_projects)
+                                        pkg_dim_over_cap, pkg_urls_via_join,
+                                        scan_ts_configs, scan_ts_projects)
 from codegraph.schema import ACC_ORDER
 
 # ---------------------------------------------------------------------------
@@ -247,20 +247,25 @@ def run_pipeline(
     ingest_commits: bool = True,
     persist: bool = True,
     records: DataFrame | None = None,
+    pkg_join_mode: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {'nodes', 'edges', 'files', 'symbols', 'records'}.
 
     min_accessibility follows the reference option (default NotApplicable
     disables guard-A handlers; 'Private' emits everything — used for the
     full-graph runs). Pass ``records`` (a checkpointed extraction output) to
-    skip re-extraction on resume."""
+    skip re-extraction on resume; ``pkg_join_mode`` then says whether those
+    records were extracted with an over-cap (never-collected) pkg-metadata
+    dim — None re-detects it from the dim itself (pkg_dim_over_cap), so a
+    resumed/staged run with a big dim still unions the Spark-side URL join
+    instead of silently dropping every Url node."""
     min_acc = ACC_ORDER[min_accessibility]
 
     files_src = discover(source)
     files_src = apply_diff_filter(files_src, diff)
 
-    pkg_join_mode = False
     if records is None:
+        pkg_join_mode = False
         # the extraction stage is CPU-bound per row: make sure it sees at
         # least one split per core. Heuristic on listed input files (cheap,
         # no RDD conversion); when the file COUNT is below parallelism the
@@ -286,6 +291,8 @@ def run_pipeline(
                                   pkg_meta or {}, ts_configs=ts_configs)
         if persist:
             records = records.persist()
+    elif pkg_join_mode is None:
+        pkg_join_mode = pkg_dim_over_cap(pkg_metadata)
 
     raw_symbols = records.filter(F.col("rec") == "symbol")
     symbols = canon.dedup_symbols(raw_symbols)
