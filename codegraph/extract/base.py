@@ -28,6 +28,8 @@ EXTRACT_COLUMNS = [
 ]
 
 US = "\x1f"  # separator for m_usings namespace lists / m_args token lists
+RS = "\x1e"  # separator BETWEEN hop signatures in a chain mention's m_head
+#              (each hop is itself US-joined: name, nargs, arg tokens)
 
 _COMMON = ("rec", "repo", "path", "lang")
 

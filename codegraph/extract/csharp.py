@@ -51,7 +51,7 @@ from __future__ import annotations
 import re
 
 from codegraph import keys
-from codegraph.extract.base import US, Emitter
+from codegraph.extract.base import RS, US, Emitter
 from codegraph.schema import ACC_ORDER, ACC_NOT_APPLICABLE, R_CONTAINS, R_DEPENDS_ON, R_INVOKES
 
 # C# builtin keyword types: Roslyn resolves them to metadata types whose
@@ -138,6 +138,16 @@ _RE_CALL = re.compile(r"(?<![\w.])(?:(?P<recv>this|[\w]+)\.)?(?P<name>\w+)\s*\((
 _RE_CHAIN = re.compile(
     r"(?<![\w.])(?:(?P<recv>this|\w+)\.)?(?P<m1>\w+)\s*\((?P<a1>[^)]*)\)"
     r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)")
+# two-level chain a.B().C().D(): D binds through TWO retsig hops (B's return
+# resolves C's declaring type, C's return resolves D's). The _RE_CHAIN match
+# on the same text gives C its edge; _RE_CALL gives B its edge. Chains
+# deeper than two hops stay out of the lexer subset (the reference binds
+# arbitrary depth through Roslyn, MemberDependencyExtractor.cs:77-182).
+_RE_CHAIN3 = re.compile(
+    r"(?<![\w.])(?:(?P<recv>this|\w+)\.)?(?P<m1>\w+)\s*\((?P<a1>[^)]*)\)"
+    r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)"
+    r"\s*\.\s*(?P<m3>\w+)\s*\((?P<a3>[^)]*)\)")
+_MAX_CHAIN_HOPS = 2
 # explicitly-typed lambda parameter `(Dep d) =>`: registers d as a local so
 # calls in the lambda body bind through its type (Roslyn walks lambda bodies
 # as part of the enclosing member, MemberDependencyExtractor.cs:77-104;
@@ -716,6 +726,55 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             return  # identity, no conversion
         mention_once(kind, target_tok, operand_type)
 
+    # --- chain machinery ---------------------------------------------------
+    # A chain binds its final member through a SEQUENCE of head-call return
+    # types (retsig lookups applied iteratively at link time). Heads come
+    # from three places: literal chains (a.B().C(), a.B().C().D()), and
+    # locals bound from call returns (`var x = a.B(); x.C()` — x carries
+    # B's pending return, so x.C() is the same one-hop chain; the reference
+    # type-tracks all of this through the semantic model,
+    # MemberDependencyExtractor.cs:77-182). local_heads maps such a local to
+    # (base receiver type or None=own type, hop signature tuple).
+    local_heads: dict[str, tuple[str | None, tuple[str, ...]]] = {}
+
+    def hop_sig(name: str, argstr: str) -> str:
+        args = [_classify_arg(a, locals_, t.fields, t.display)
+                for a in _split_args(argstr)]
+        return US.join([name, str(_count_args(argstr))] + args)
+
+    def chain_base(recv: str | None) -> tuple[str | None, tuple[str, ...]] | None:
+        """Resolve a chain's base receiver: None/this -> own type; a local
+        bound from a call return -> its pending hops; a typed local/field ->
+        its declared type. Keyword/BCL/unknown receivers return None: the
+        chained target is a metadata member whose key dangles -> no edge."""
+        if recv is None or recv == "this":
+            return (None, ())
+        if recv in local_heads and not type_of(recv):
+            return local_heads[recv]
+        rtok = type_of(recv)
+        if rtok is None or _is_keywordish(rtok):
+            return None
+        return (rtok, ())
+
+    def emit_chain(base: str | None, hops: tuple[str, ...],
+                   final_name: str, final_argstr: str) -> None:
+        if not hops or len(hops) > _MAX_CHAIN_HOPS:
+            return  # beyond the two-hop subset -> drop (dangling outcome)
+        nargs = _count_args(final_argstr)
+        args = [_classify_arg(a, locals_, t.fields, t.display)
+                for a in _split_args(final_argstr)]
+        head = RS.join(hops)
+        k = ("chain", base, head, final_name, nargs, tuple(args))
+        if k in seen:
+            return
+        seen.add(k)
+        if base is None:
+            em.mention("chain_own", caller_key, R_INVOKES, final_name,
+                       t.display, cand_ns, nargs, m_args=args, m_head=head)
+        else:
+            em.mention("chain_via", caller_key, R_INVOKES, final_name, base,
+                       cand_ns, nargs, m_args=args, m_head=head)
+
     # --- statement pass: local type tracking + non-invocation INVOKES ------
     for raw_line in text.split("\n"):
         s = raw_line.strip()
@@ -765,6 +824,35 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                         # implicit conversion at initializer (EqualsValueClause)
                         conv("conv_impl", declared, rt)
                     inferred = rt
+            elif declared is None:
+                # `var x = <call or chain>;` — the local's type is the LAST
+                # call's return, known only to the link-time retsig
+                # dictionary: record the pending hops so later x.M() calls
+                # emit chain mentions (Roslyn type-tracks the local through
+                # the semantic model, MemberDependencyExtractor.cs:77-182)
+                trk = None
+                m3_ = _RE_CHAIN3.fullmatch(rhs)
+                m2_ = _RE_CHAIN.fullmatch(rhs) if m3_ is None else None
+                m1_ = (_RE_CALL.fullmatch(rhs)
+                       if m3_ is None and m2_ is None else None)
+                if m3_ is not None:
+                    trk = (m3_.group("recv"),
+                           [(m3_.group("m1"), m3_.group("a1")),
+                            (m3_.group("m2"), m3_.group("a2")),
+                            (m3_.group("m3"), m3_.group("a3"))])
+                elif m2_ is not None:
+                    trk = (m2_.group("recv"),
+                           [(m2_.group("m1"), m2_.group("a1")),
+                            (m2_.group("m2"), m2_.group("a2"))])
+                elif m1_ is not None and m1_.group("name") not in _MODIFIER_WORDS:
+                    trk = (m1_.group("recv"), [(m1_.group("name"), m1_.group(3))])
+                if trk is not None:
+                    base_info = chain_base(trk[0])
+                    if base_info is not None:
+                        base, prefix = base_info
+                        hops = prefix + tuple(hop_sig(n, a) for n, a in trk[1])
+                        if len(hops) <= _MAX_CHAIN_HOPS:
+                            local_heads[name] = (base, hops)
             locals_[name] = declared or inferred or ""
             continue
         mr = _RE_RET.match(s)
@@ -792,45 +880,28 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns, nargs,
                        m_args=args)
 
-    for m in _RE_CHAIN.finditer(text):
-        # chained member: `recv.M1(a1).M2(a2)` — M1's INVOKES comes from the
-        # _RE_CALL scan below; M2 binds through M1's return type, which only
-        # the link-time member dictionary knows (reference: Roslyn binds the
-        # full chain semantically, MemberDependencyExtractor.cs:77-182)
-        recv, m1, m2 = m.group("recv"), m.group("m1"), m.group("m2")
-        if m1 in _MODIFIER_WORDS or m2 in _MODIFIER_WORDS:
-            continue
-        pre = text[max(0, m.start() - 4):m.start()]
-        if pre.endswith("new ") or pre.endswith("new"):
-            continue  # `new X(..).M(..)` out of the subset's chain scope
-        nargs1 = _count_args(m.group("a1"))
-        nargs2 = _count_args(m.group("a2"))
-        args1 = [_classify_arg(a, locals_, t.fields, t.display)
-                 for a in _split_args(m.group("a1"))]
-        args2 = [_classify_arg(a, locals_, t.fields, t.display)
-                 for a in _split_args(m.group("a2"))]
-        head = US.join([m1, str(nargs1)] + args1)
-        if recv is None or recv == "this":
-            k = ("chain", None, m1, nargs1, m2, nargs2, tuple(args2))
-            if k in seen:
+    for rx, n_heads in ((_RE_CHAIN, 1), (_RE_CHAIN3, 2)):
+        # chained members: `recv.M1(a1).M2(a2)[.M3(a3)]` — M1's INVOKES
+        # comes from the _RE_CALL scan below; each later member binds
+        # through the PRECEDING call's return type, which only the
+        # link-time retsig dictionary knows (reference: Roslyn binds the
+        # full chain semantically, MemberDependencyExtractor.cs:77-182).
+        # _RE_CHAIN fires on a 3-call chain's prefix too, giving M2 its
+        # edge; _RE_CHAIN3 adds M3's two-hop binding.
+        for m in rx.finditer(text):
+            parts = [(m.group(f"m{i}"), m.group(f"a{i}"))
+                     for i in range(1, n_heads + 2)]
+            if any(name in _MODIFIER_WORDS for name, _ in parts):
                 continue
-            seen.add(k)
-            # head type is the OWN type display; cand_ns still rides along
-            # for resolving the head's return token
-            em.mention("chain_own", caller_key, R_INVOKES, m2, t.display,
-                       cand_ns, nargs2, m_args=args2, m_head=head)
-        else:
-            rtok = type_of(recv)
-            if rtok is None or _is_keywordish(rtok):
-                # BCL/unknown receiver: the chained target is a metadata
-                # member whose key dangles -> no edge either way
-                continue
-            k = ("chain", rtok, m1, nargs1, m2, nargs2, tuple(args2))
-            if k in seen:
-                continue
-            seen.add(k)
-            em.mention("chain_via", caller_key, R_INVOKES, m2, rtok,
-                       cand_ns, nargs2, m_args=args2, m_head=head)
+            pre = text[max(0, m.start() - 4):m.start()]
+            if pre.endswith("new ") or pre.endswith("new"):
+                continue  # `new X(..).M(..)` out of the subset's chain scope
+            base_info = chain_base(m.group("recv"))
+            if base_info is None:
+                continue  # keyword/BCL/unknown receiver -> dangles -> no edge
+            base, prefix = base_info
+            hops = prefix + tuple(hop_sig(n, a) for n, a in parts[:-1])
+            emit_chain(base, hops, parts[-1][0], parts[-1][1])
 
     for m in _RE_CALL.finditer(text):
         recv, name, argstr = m.group("recv"), m.group("name"), m.group(3)
@@ -868,6 +939,12 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                     if (_is_keywordish(ptok.rstrip("?")) and atok not in ("?", "")
                             and not _is_keywordish(atok)):
                         conv("conv_impl", ptok, atok)
+        elif recv in local_heads and not type_of(recv):
+            # local bound from a call return (`var x = a.B(); x.C()`): the
+            # call binds through the pending head hops, same link path as a
+            # literal chain a.B().C()
+            base, prefix = local_heads[recv]
+            emit_chain(base, prefix, name, argstr)
         elif recv in t.fields or recv in locals_:
             ftok = (t.fields.get(recv) or locals_.get(recv, "")).rstrip("?")
             if ftok in KEYWORD_TYPES or ftok in EXTERNAL_TYPE_DISPLAY or ftok.startswith("System."):

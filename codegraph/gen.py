@@ -512,6 +512,35 @@ def _render_one_class(c: dict) -> list:
         if dep and c.get("dep_has_chain"):
             lines.append("        _dep.Self().Run();")
         lines.append("    }")
+        # local bound from a call return: s carries Self()'s pending return
+        # (Roslyn type-tracks the local; the replica emits a chain mention)
+        lines.append("    public void Drift()")
+        lines.append("    {")
+        lines.append("        var s = Self();")
+        lines.append("        s.Run();")
+        lines.append("    }")
+        # two-level chain on the own type: Run() binds through TWO retsig
+        # hops (Self -> Self -> Run)
+        lines.append("    public void Coil()")
+        lines.append("    {")
+        lines.append("        Self().Self().Run();")
+        lines.append("    }")
+        if dep and c.get("dep_has_chain"):
+            # Hop() returns the DEP type: its return-type dep edge + the
+            # type-CHANGING chains below (own -> dep transitions)
+            lines.append(f"    public {dep} Hop()")
+            lines.append("    {")
+            lines.append("        return _dep;")
+            lines.append("    }")
+            lines.append("    public void Weave()")
+            lines.append("    {")
+            lines.append("        var t = _dep.Self();")
+            lines.append("        t.Run();")
+            lines.append("    }")
+            lines.append("    public void Glide()")
+            lines.append("    {")
+            lines.append("        Hop().Self().Run();")
+            lines.append("    }")
     if c.get("has_lambda"):
         # statement lambda: the body call attributes to Sweep (Roslyn walks
         # lambda bodies as part of the enclosing member); the typed-lambda

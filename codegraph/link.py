@@ -32,12 +32,16 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
    arity.
 
    Two member-lookup extensions mirror Roslyn's binding order:
-   * **one-level call chains** ``a.B().C()`` — extraction emits a ``chain``
-     mention carrying the head call; resolution looks B up in a
-     return-token dictionary (``retsig`` records emitted per method
-     declaration), resolves the return token like any other type mention,
-     and binds C on the result. Head-overload ambiguity or a keyword/BCL
-     return drops the chain (the reference's dangling-edge outcome).
+   * **call chains, up to two hops** — ``a.B().C()``, ``a.B().C().D()``,
+     and their var-tracked equivalents (``var x = a.B(); x.C()``: the local
+     carries B's pending return): extraction emits a ``chain`` mention
+     whose ``m_head`` lists the head-call signatures; resolution consumes
+     one hop per loop iteration — look the head up in a return-token
+     dictionary (``retsig`` records emitted per method declaration),
+     resolve the return token like any other type mention, repeat — and
+     binds the final member on the result. Head-overload ambiguity, a
+     keyword/BCL return, or a 3+-hop chain drops (the reference's
+     dangling-edge outcome; Roslyn binds arbitrary depth semantically).
    * **extension methods** — receiver-typed calls that found NO applicable
      instance member fall through to an ``extsig`` dictionary of static
      methods keyed by their ``this``-parameter token (matched against the
@@ -82,7 +86,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from codegraph.extract.base import US
+from codegraph.extract.base import RS, US
 from codegraph.extract.csharp import EXTERNAL_TYPE_DISPLAY, KEYWORD_TYPES
 
 
@@ -355,9 +359,11 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
         .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
 
-    # --- chained calls: bind the SECOND member through the head's return
-    #     token (retsig dictionary), then resolve that token like any other
-    #     type mention, then ride the shared member-lookup join below --------
+    # --- chained calls: bind each LATER member through the preceding
+    #     call's return token (retsig dictionary), one hop per loop
+    #     iteration, then ride the shared member-lookup join below. m_head
+    #     carries the hop signatures RS-separated: one hop for a.B().C()
+    #     and `var x = a.B(); x.C()`, two for a.B().C().D() ----------------
     rets = (mentions.filter(F.col("m_kind") == "retsig")
             .select(F.col("repo").alias("rr_repo"),
                     F.col("m_recv").alias("rt_display"),
@@ -373,52 +379,76 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     ch_own = (dim.filter(kind == "chain_own")
               .withColumn("t_display", F.col("m_recv"))
               .select(*chain_cols))
-    hp = F.split(F.col("m_head"), US)
-    chains = (ch_via.unionByName(ch_own)
-              .select("repo", "mid", "t_display",
-                      hp.getItem(0).alias("h_name"),
-                      hp.getItem(1).cast("int").alias("h_nargs"),
-                      F.array_join(
-                          F.slice(hp, F.lit(3),
-                                  F.greatest(F.size(hp) - 2, F.lit(0))),
-                          ", ").alias("h_args")))
-    hj = chains.join(
-        rets,
-        on=[F.col("repo") == F.col("rr_repo"),
-            F.col("t_display") == F.col("rt_display"),
-            F.col("h_name") == F.col("r_name")],
-        how="inner")
-    hrank = (F.when(~F.col("h_args").contains("?")
-                    & (F.col("r_params") == F.col("h_args")), F.lit(0))
-             .when(F.col("r_nparams") == F.col("h_nargs"), F.lit(1))
-             .otherwise(F.lit(99)))
-    hj = hj.withColumn("_hr", hrank).filter(F.col("_hr") < 99)
-    hranked = (
-        hj.groupBy("repo", "mid")
-        .agg(F.min("_hr").alias("_h0"),
-             F.expr("min_by(struct(r_params, r_ret), struct(_hr, r_params))")
-             .alias("_minr"),
-             F.expr("max_by(struct(r_params, r_ret), struct(-_hr, r_params))")
-             .alias("_maxr"),
-             F.max(F.col("h_args").contains("?")).alias("_hunk")))
-    # head overload ambiguity mirrors the member pass: an arity-rank tie with
-    # unclassified args is a Roslyn error -> the whole chain drops
-    h_ok = (hranked
-            .filter(~(F.col("_hunk") & (F.col("_h0") >= 1)
-                      & (F.col("_minr") != F.col("_maxr"))))
-            .select("repo", "mid", F.col("_minr.r_ret").alias("r_ret")))
-    # keyword/BCL return types: the chained target is a metadata member whose
-    # key dangles either way -> no edge (MergeRelationships.cypher:1-5)
-    h_ok = h_ok.filter(~F.array_contains(kw, F.col("r_ret"))
-                       & ~F.col("r_ret").startswith("System.")
-                       & ~F.col("r_ret").isin(*EXTERNAL_TYPE_DISPLAY.keys()))
     musings = (mentions.select("repo", "mid", "m_usings")
                .dropDuplicates(["repo", "mid"]))
-    resolved_ret = _resolve_types(
-        h_ok.join(musings, ["repo", "mid"])
-        .select("repo", "mid", F.col("r_ret").alias("resolve_tok"), "m_usings"),
-        types, salt, global_ns)
-    chain_cand = (resolved_ret
+    # hop loop: each iteration consumes ONE head signature — ranked lookup
+    # in the retsig dictionary on the current receiver type (overload
+    # ambiguity or a keyword/BCL return drops the chain, the reference's
+    # dangling-edge outcome), then the return token resolves like any other
+    # type mention and becomes the next receiver. Chains whose hop list is
+    # exhausted exit to the member-lookup join; two static iterations bound
+    # the subset (a.B().C().D() / var-tracked equivalents) — a 3+-hop
+    # m_head leaves `pending` non-empty after the loop and drops. All
+    # frames here are dictionary/chain-mention-scale, so the loop adds two
+    # bounded join rounds, not a corpus-wide shuffle.
+    pending = (ch_via.unionByName(ch_own)
+               .select("repo", "mid", "t_display",
+                       F.split(F.col("m_head"), RS).alias("hops")))
+    done = None
+    for _hop in range(2):
+        hp = F.split(F.element_at(F.col("hops"), 1), US)
+        cur = pending.select(
+            "repo", "mid", "t_display",
+            hp.getItem(0).alias("h_name"),
+            hp.getItem(1).cast("int").alias("h_nargs"),
+            F.array_join(
+                F.slice(hp, F.lit(3), F.greatest(F.size(hp) - 2, F.lit(0))),
+                ", ").alias("h_args"))
+        hj = cur.join(
+            rets,
+            on=[F.col("repo") == F.col("rr_repo"),
+                F.col("t_display") == F.col("rt_display"),
+                F.col("h_name") == F.col("r_name")],
+            how="inner")
+        hrank = (F.when(~F.col("h_args").contains("?")
+                        & (F.col("r_params") == F.col("h_args")), F.lit(0))
+                 .when(F.col("r_nparams") == F.col("h_nargs"), F.lit(1))
+                 .otherwise(F.lit(99)))
+        hj = hj.withColumn("_hr", hrank).filter(F.col("_hr") < 99)
+        hranked = (
+            hj.groupBy("repo", "mid")
+            .agg(F.min("_hr").alias("_h0"),
+                 F.expr("min_by(struct(r_params, r_ret), struct(_hr, r_params))")
+                 .alias("_minr"),
+                 F.expr("max_by(struct(r_params, r_ret), struct(-_hr, r_params))")
+                 .alias("_maxr"),
+                 F.max(F.col("h_args").contains("?")).alias("_hunk")))
+        # head overload ambiguity mirrors the member pass: an arity-rank tie
+        # with unclassified args is a Roslyn error -> the whole chain drops
+        h_ok = (hranked
+                .filter(~(F.col("_hunk") & (F.col("_h0") >= 1)
+                          & (F.col("_minr") != F.col("_maxr"))))
+                .select("repo", "mid", F.col("_minr.r_ret").alias("r_ret")))
+        # keyword/BCL return types: the chained target is a metadata member
+        # whose key dangles either way -> no edge (MergeRelationships.cypher:1-5)
+        h_ok = h_ok.filter(~F.array_contains(kw, F.col("r_ret"))
+                           & ~F.col("r_ret").startswith("System.")
+                           & ~F.col("r_ret").isin(*EXTERNAL_TYPE_DISPLAY.keys()))
+        resolved_ret = _resolve_types(
+            h_ok.join(musings, ["repo", "mid"])
+            .select("repo", "mid", F.col("r_ret").alias("resolve_tok"),
+                    "m_usings"),
+            types, salt, global_ns)
+        stepped = (resolved_ret.select("repo", "mid", "t_display")
+                   .join(pending.select(
+                       "repo", "mid",
+                       F.expr("slice(hops, 2, greatest(size(hops) - 1, 0))")
+                       .alias("hops")), ["repo", "mid"]))
+        fin = (stepped.filter(F.size("hops") == 0)
+               .select("repo", "mid", "t_display"))
+        done = fin if done is None else done.unionByName(fin)
+        pending = stepped.filter(F.size("hops") > 0)
+    chain_cand = (done
                   .join(dim.select("repo", "mid", "m_name", "m_nargs", "m_args"),
                         ["repo", "mid"])
                   .select("repo", "mid", "m_nargs",

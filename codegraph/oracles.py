@@ -182,6 +182,10 @@ members AS (
   SELECT repo, path, ns, ln, type_display, 'Method', 'Self()', NULL
   FROM tdisp WHERE regexp_matches(line, '^    public \w+ Self\(\)$')
   UNION ALL
+  -- Hop(): dep-class-typed return, same non-keyword-return shape as Self
+  SELECT repo, path, ns, ln, type_display, 'Method', 'Hop()', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public \w+ Hop\(\)$')
+  UNION ALL
   -- extension method: CSharpErrorMessageFormat drops the `this` modifier
   -- from the parameter display ('Boost(Widget5, int)')
   SELECT repo, path, ns, ln, type_display, 'Method',
@@ -263,6 +267,7 @@ SELECT repo, path,
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+\\(\\) => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Self\\(\\)$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Hop\\(\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static int Boost\\(this \\w+ w, int amount\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\) where ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
@@ -653,6 +658,45 @@ calls AS (
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        _dep\\.Self\\(\\)\\.Run\\(\\);$')
   UNION ALL
+  -- var-bound local from a call return (`var s = Self(); s.Run()`): the
+  -- local carries Self()'s pending return -> Run binds on the own class
+  SELECT repo, path, cur_method, type_display, NULL, 'Self()'
+  FROM body WHERE regexp_matches(line, '^        var s = Self\\(\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        s\\.Run\\(\\);$')
+  UNION ALL
+  -- two-level own chain Self().Self().Run(): the two Self edges collapse
+  -- (same symbol); Run binds through two retsig hops
+  SELECT repo, path, cur_method, type_display, NULL, 'Self()'
+  FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- cross-type var-bound local (`var t = _dep.Self(); t.Run()`): both
+  -- edges land on the dep type
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Self()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        var t = _dep\\.Self\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        t\\.Run\\(\\);$')
+  UNION ALL
+  -- type-CHANGING two-level chain Hop().Self().Run(): Hop is an own-type
+  -- call; Self and Run bind on Hop's return type (the dep class)
+  SELECT repo, path, cur_method, type_display, NULL, 'Hop()'
+  FROM body WHERE regexp_matches(line, '^        Hop\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Self()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        Hop\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        Hop\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
   -- statement lambda assigned to a local: the body call attributes to the
   -- enclosing method (Roslyn walks lambda bodies as part of the member);
   -- the later go() invocation targets Delegate.Invoke -> dangles
@@ -754,6 +798,11 @@ tokens AS (
   SELECT repo, path, type_display,
          regexp_extract(line, '^    public (\\w+) Self\\(\\)$', 1)
   FROM tdisp WHERE regexp_matches(line, '^    public \\w+ Self\\(\\)$')
+  UNION ALL
+  -- Hop(): non-ctor RETURN type dep on the dep class
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    public (\\w+) Hop\\(\\)$', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public \\w+ Hop\\(\\)$')
   UNION ALL
   -- extension method receiver param: `this Widget5 w` contributes the
   -- receiver type as a parameter dep of the static Fluent class

@@ -154,7 +154,18 @@ def purge(spark, graph_dir: str, repo: str) -> None:
     see the table briefly absent — plain-parquet directories have no
     transaction log; concurrent readers need the Delta/Iceberg form of this
     operation (a single ``DELETE WHERE repo = ...``). A crash between the
-    renames strands the data in ``__old``; purge entry recovers it."""
+    renames strands the data in ``__old``; purge entry recovers it.
+
+    Documented decision (round-5): the Delta/Iceberg variant is NOT shipped.
+    Neither delta-spark nor an Iceberg runtime jar is present in this
+    environment and adding dependencies is out of scope, so a ``DELETE
+    WHERE repo = ?`` path would be dead, untestable code here. The
+    production recipe is one statement on a Delta table —
+    ``spark.sql("DELETE FROM graph.nodes WHERE repo = ?")`` — with the
+    transaction log replacing this function's rename dance and its
+    single-writer caveat; everything else in this module is
+    format-agnostic (the write boundary is plain ``.write.parquet``, so
+    swapping ``format("delta")`` in at deployment is a one-line change)."""
     import shutil
 
     for table in ("nodes", "edges", "files"):

@@ -333,3 +333,113 @@ public class App
     assert ("r1:Lib.Sub.Go()", "src__INVOKES", "r1:Lib.Holder.Run()") in edges
     # interface-typed receiver binds to the interface member symbol
     assert ("r1:Lib.App.Use()", "src__INVOKES", "r1:Lib.IPort.Start()") in edges
+
+
+def test_local_bound_from_call_return(spark):
+    """`var x = a.B(); x.C()` — the local carries B's pending return, so C
+    binds exactly like the literal chain a.B().C() (reference: Roslyn
+    type-tracks the local through the semantic model,
+    MemberDependencyExtractor.cs:77-182)."""
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    private readonly Maker _dep;
+    public void Go()
+    {
+        var x = _dep.Make();
+        x.Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", TARGET),
+        ("src/Mid/Maker.cs", MAKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    src = "r1:App.Caller.Go()"
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+
+
+def test_two_level_chain_with_type_transition(spark):
+    """a.B().C().D() binds D through TWO retsig hops, including a hop that
+    CHANGES the receiver type (own -> Maker -> Target)."""
+    target = TARGET.replace(
+        "    public void Ping()",
+        "    public Target Again()\n    {\n        return this;\n    }\n"
+        "    public void Ping()")
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    public Maker Grab()
+    {
+        return null;
+    }
+    public void Deep()
+    {
+        Grab().Make().Ping();
+    }
+    public void Local()
+    {
+        var m = Grab();
+        m.Make().Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", target),
+        ("src/Mid/Maker.cs", MAKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    deep = "r1:App.Caller.Deep()"
+    assert (deep, "src__INVOKES", "r1:App.Caller.Grab()") in edges
+    assert (deep, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (deep, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+    # var-tracked equivalent: m carries Grab()'s return; m.Make().Ping()
+    # is a two-hop chain for Ping
+    local = "r1:App.Caller.Local()"
+    assert (local, "src__INVOKES", "r1:App.Caller.Grab()") in edges
+    assert (local, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (local, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+
+
+def test_three_hop_chain_drops(spark):
+    """a.B().C().D().E() is beyond the two-hop subset: E drops (the
+    reference binds arbitrary depth through Roslyn; the replica documents
+    the bound — a dangling outcome, not a wrong edge)."""
+    target = TARGET.replace(
+        "    public void Ping()",
+        "    public Target Again()\n    {\n        return this;\n    }\n"
+        "    public void Ping()")
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    private readonly Maker _dep;
+    public void Go()
+    {
+        _dep.Make().Again().Again().Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", target),
+        ("src/Mid/Maker.cs", MAKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    src = "r1:App.Caller.Go()"
+    # hops 0-2 bind; the fourth member is out of the subset -> no edge
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Again()") in edges
+    assert not any(d.endswith("Ping()") for s, _r, d in edges if s == src)
