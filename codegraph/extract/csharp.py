@@ -695,6 +695,12 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
         text = "\n".join(body.split("\n")[1:])
     else:
         text = body.split(")", 1)[1] if ")" in body else body
+    # null-conditional access `x?.M()` binds the SAME member symbol as plain
+    # access (Roslyn ConditionalAccessExpressionSyntax — the null guard
+    # changes control flow, not binding), so normalize before scanning; the
+    # `?.` digraph cannot occur in any other subset shape (nullable type
+    # tokens are followed by whitespace, ternaries space their '?')
+    text = text.replace("?.", ".")
 
     locals_: dict[str, str] = {pn: ptok for ptok, pn in mrec.get("params", [])}
     # explicitly-typed lambda params act as typed locals for the body walk
@@ -745,16 +751,24 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     def chain_base(recv: str | None) -> tuple[str | None, tuple[str, ...]] | None:
         """Resolve a chain's base receiver: None/this -> own type; a local
         bound from a call return -> its pending hops; a typed local/field ->
-        its declared type. Keyword/BCL/unknown receivers return None: the
-        chained target is a metadata member whose key dangles -> no edge."""
+        its declared type; an identifier that is NO local/field -> a static
+        TYPE receiver (``Factory.Make().Run()`` — the token resolves, or
+        dangles, in the link-time type dictionary, mirroring the
+        invoke_static path). Keyword/BCL receivers and declared-but-
+        unclassifiable locals return None: the chained target is a metadata
+        member whose key dangles -> no edge."""
         if recv is None or recv == "this":
             return (None, ())
         if recv in local_heads and not type_of(recv):
             return local_heads[recv]
         rtok = type_of(recv)
-        if rtok is None or _is_keywordish(rtok):
-            return None
-        return (rtok, ())
+        if rtok is not None:
+            return None if _is_keywordish(rtok) else (rtok, ())
+        if recv in locals_ or recv in t.fields:
+            return None  # declared, type unknown -> Roslyn error -> no edge
+        if _is_keywordish(recv):
+            return None  # BCL static chain -> metadata member -> dangles
+        return (recv, ())
 
     def emit_chain(base: str | None, hops: tuple[str, ...],
                    final_name: str, final_argstr: str) -> None:

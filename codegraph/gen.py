@@ -512,6 +512,12 @@ def _render_one_class(c: dict) -> list:
         if dep and c.get("dep_has_chain"):
             lines.append("        _dep.Self().Run();")
         lines.append("    }")
+        # static factory: Grow() returns its own class -> the receiver-less
+        # static-chain shapes below ({dep}.Grow().Run()) bind through it
+        lines.append(f"    public static {name} Grow()")
+        lines.append("    {")
+        lines.append("        return null;")
+        lines.append("    }")
         # local bound from a call return: s carries Self()'s pending return
         # (Roslyn type-tracks the local; the replica emits a chain mention)
         lines.append("    public void Drift()")
@@ -540,6 +546,18 @@ def _render_one_class(c: dict) -> list:
             lines.append("    public void Glide()")
             lines.append("    {")
             lines.append("        Hop().Self().Run();")
+            lines.append("    }")
+            # static TYPE receiver chain: Grow() is looked up on the dep
+            # CLASS (no instance), Run() through its return type
+            lines.append("    public void Spire()")
+            lines.append("    {")
+            lines.append(f"        {dep}.Grow().Run();")
+            lines.append("    }")
+            # null-conditional access binds the same member symbols
+            lines.append("    public void Probe()")
+            lines.append("    {")
+            lines.append("        _dep?.Run();")
+            lines.append("        _dep?.Self().Run();")
             lines.append("    }")
     if c.get("has_lambda"):
         # statement lambda: the body call attributes to Sweep (Roslyn walks

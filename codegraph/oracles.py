@@ -186,6 +186,10 @@ members AS (
   SELECT repo, path, ns, ln, type_display, 'Method', 'Hop()', NULL
   FROM tdisp WHERE regexp_matches(line, '^    public \w+ Hop\(\)$')
   UNION ALL
+  -- Grow(): STATIC factory, own-class-typed return
+  SELECT repo, path, ns, ln, type_display, 'Method', 'Grow()', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public static \w+ Grow\(\)$')
+  UNION ALL
   -- extension method: CSharpErrorMessageFormat drops the `this` modifier
   -- from the parameter display ('Boost(Widget5, int)')
   SELECT repo, path, ns, ln, type_display, 'Method',
@@ -268,6 +272,7 @@ SELECT repo, path,
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+\\(\\) => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Self\\(\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Hop\\(\\)$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public static \\w+ Grow\\(\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static int Boost\\(this \\w+ w, int amount\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\) where ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
@@ -697,6 +702,29 @@ calls AS (
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        Hop\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
   UNION ALL
+  -- static TYPE-receiver chain {{dep}}.Grow().Run(): Grow binds on the dep
+  -- CLASS (no instance), Run through Grow's return type
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Grow()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        \\w+\\.Grow\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        \\w+\\.Grow\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- null-conditional access binds the SAME member symbols as plain access
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\?\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Self()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\?\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\?\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
   -- statement lambda assigned to a local: the body call attributes to the
   -- enclosing method (Roslyn walks lambda bodies as part of the member);
   -- the later go() invocation targets Delegate.Invoke -> dangles
@@ -803,6 +831,11 @@ tokens AS (
   SELECT repo, path, type_display,
          regexp_extract(line, '^    public (\\w+) Hop\\(\\)$', 1)
   FROM tdisp WHERE regexp_matches(line, '^    public \\w+ Hop\\(\\)$')
+  UNION ALL
+  -- Grow(): static factory RETURN type dep (the declaring class itself)
+  SELECT repo, path, type_display,
+         regexp_extract(line, '^    public static (\\w+) Grow\\(\\)$', 1)
+  FROM tdisp WHERE regexp_matches(line, '^    public static \\w+ Grow\\(\\)$')
   UNION ALL
   -- extension method receiver param: `this Widget5 w` contributes the
   -- receiver type as a parameter dep of the static Fluent class

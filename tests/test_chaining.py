@@ -443,3 +443,63 @@ public class Caller
     assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
     assert (src, "src__INVOKES", "r1:Lib.Target.Again()") in edges
     assert not any(d.endswith("Ping()") for s, _r, d in edges if s == src)
+
+
+def test_static_type_receiver_chain(spark):
+    """Factory-style static chain `Maker.Create().Ping()`: the receiver is
+    a TYPE token (no instance in scope) — the head binds as a static
+    member, the chained call through its return type."""
+    maker = MAKER.replace(
+        "    public Target Make()",
+        "    public static Target Create()\n    {\n        return null;\n    }\n"
+        "    public Target Make()")
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    public void Go()
+    {
+        Maker.Create().Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", TARGET),
+        ("src/Mid/Maker.cs", maker),
+        ("src/App/Caller.cs", caller),
+    ])
+    src = "r1:App.Caller.Go()"
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Create()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+
+
+def test_null_conditional_binds_like_plain_access(spark):
+    """`x?.M()` binds the same member symbol as x.M() (Roslyn conditional
+    access changes control flow, not binding)."""
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    private readonly Maker _dep;
+    public void Go()
+    {
+        _dep?.Run();
+        _dep?.Make().Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", TARGET),
+        ("src/Mid/Maker.cs", MAKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    src = "r1:App.Caller.Go()"
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Run()") in edges
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
