@@ -153,6 +153,49 @@ _MAX_CHAIN_HOPS = 2
 # as part of the enclosing member, MemberDependencyExtractor.cs:77-104;
 # type-INFERENCE for untyped lambda params is out of the lexer subset)
 _RE_LAMBDA_PARAM = re.compile(r"\(\s*(?P<tok>[A-Z]\w*)\s+(?P<name>\w+)\s*\)\s*=>")
+# LINQ / iteration subset: iteration variables, query range variables, and
+# untyped lambda parameters take the ELEMENT type of a generic-collection
+# source (Roslyn binds foreach through GetEnumerator().Current, and query /
+# lambda parameters through the IEnumerable<T> delegate parameter — the
+# bound symbols reach MemberDependencyExtractor.cs:77-104 like any other
+# invocation; the lexer reproduces the element-type inference for the
+# collection shapes the subset declares)
+_RE_FOREACH = re.compile(
+    r"\bforeach\s*\(\s*(?P<tok>var|[\w.<>\[\]?]+)\s+(?P<name>\w+)"
+    r"\s+in\s+(?P<src>\w+)\s*\)")
+_RE_QUERY_FROM = re.compile(r"\bfrom\s+(?P<name>\w+)\s+in\s+(?P<src>\w+)\b")
+# one-call untyped-lambda argument `recv.Op(p => p.M(..))`: Op binds to a
+# BCL extension method (System.Linq metadata symbol -> key dangles, no
+# edge); the lambda body call binds through the inferred element type
+_RE_LAMBDA_CALL = re.compile(
+    r"(?<![\w.])(?P<recv>\w+)\.(?P<op>\w+)\(\s*(?P<p>\w+)\s*=>\s*"
+    r"(?P<pr>\w+)\.(?P<m>\w+)\s*\((?P<a>[^()]*)\)\s*\)")
+# explicit type-argument list at a call site: Roslyn binds the invocation
+# to the generic DEFINITION (Echo<string>("w") -> display Echo<T>(T)), and
+# the link side matches bare name + arity, so the lexer strips the list.
+# `new X<T>(...)` keeps its list: constructed-ctor keys dangle like the
+# reference's metadata symbols.
+_RE_TARGS_CALL = re.compile(r"(?<![\w.])(?<!new )(?P<n>\w+)<[\w.?, ]+>\s*\(")
+_GENERIC_COLLECTIONS = (
+    "List", "IList", "IEnumerable", "ICollection", "IReadOnlyList",
+    "IReadOnlyCollection", "ISet", "HashSet", "Queue", "Stack",
+)
+_RE_ELEM = re.compile(
+    r"^(?:System\.Collections\.Generic\.)?(?:%s)<(?P<e>[\w.]+)>$"
+    % "|".join(_GENERIC_COLLECTIONS))
+
+
+def _elem_type(tok: str | None) -> str | None:
+    """Element type of a generic-collection or array token, else None."""
+    if not tok:
+        return None
+    tok = tok.rstrip("?")
+    if tok.endswith("[]"):
+        return tok[:-2]
+    m = _RE_ELEM.match(tok)
+    return m.group("e") if m else None
+
+
 # generic constraint clause at the end of a type/method declaration line:
 # Roslyn displays ignore constraints (CSharpErrorMessageFormat), so the
 # lexer strips the clause before matching the declaration shape
@@ -164,6 +207,15 @@ _RE_BIN = re.compile(
 _RE_PRE = re.compile(r"^(?P<op>\+\+|--|!|~|-)\s*(?P<a>\w+)$")
 _RE_POST = re.compile(r"^(?P<a>\w+)\s*(?P<op>\+\+|--)$")
 _RE_CASTX = re.compile(r"^\((?P<t>[\w.<>\[\]?]+)\)\s*(?P<e>\w+|\d+)$")
+# `expr as T` narrows the local to T (Roslyn: the as-expression's type is
+# T?; no user-defined conversion is invoked — reference conversions only)
+_RE_AS = re.compile(r"^(?P<e>\w+)\s+as\s+(?P<t>[\w.<>\[\]?]+)$")
+# declaration pattern `expr is T name`: the pattern variable is T-typed
+# (Roslyn flow analysis narrows it; the subset flattens scope to the member)
+_RE_IS_PATTERN = re.compile(r"\bis\s+(?P<t>[A-Z][\w.<>]*)\s+(?P<name>\w+)")
+# object-creation with an initializer and no argument list `new X { .. }`:
+# Roslyn binds the parameterless constructor
+_RE_NEW_INIT = re.compile(r"\bnew\s+([\w.]+)\s*\{")
 _RE_RET = re.compile(r"^\s*return\s+(?P<e>\w+)\s*;")
 _RE_IDENT = re.compile(r"^\w+$")
 
@@ -708,6 +760,29 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # lambda param names don't shadow other locals)
     for lm in _RE_LAMBDA_PARAM.finditer(body):
         locals_.setdefault(lm.group("name"), lm.group("tok"))
+    # iteration + query range variables: `foreach (var it in xs)` /
+    # `from e in xs` bind the variable to xs's element type (an explicitly
+    # typed foreach keeps its declared token). Sources are fields or
+    # params; unknown sources leave the variable untyped, so its calls
+    # dangle like any unclassifiable receiver. Scoping flattens to the
+    # member, same as lambda params above.
+    for fm in _RE_FOREACH.finditer(body):
+        tok = fm.group("tok")
+        if tok == "var":
+            et = _elem_type(locals_.get(fm.group("src"))
+                            or t.fields.get(fm.group("src")))
+        else:
+            et = tok.rstrip("?")
+        if et:
+            locals_.setdefault(fm.group("name"), et)
+    for qm in _RE_QUERY_FROM.finditer(body):
+        et = _elem_type(locals_.get(qm.group("src"))
+                        or t.fields.get(qm.group("src")))
+        if et:
+            locals_.setdefault(qm.group("name"), et)
+    # declaration-pattern variables: `if (o is Dep n)` narrows n to Dep
+    for pm in _RE_IS_PATTERN.finditer(body):
+        locals_.setdefault(pm.group("name"), pm.group("t"))
     ret_tok = (mrec.get("ret") or "").rstrip("?") or None
 
     def type_of(ident: str) -> str | None:
@@ -798,7 +873,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             declared = None if tok == "var" else tok.rstrip("?")
             inferred: str | None = None
             if rhs.startswith("new "):
-                mnew = _RE_NEW.match(rhs)
+                mnew = _RE_NEW.match(rhs) or _RE_NEW_INIT.match(rhs)
                 inferred = mnew.group(1) if mnew else None
                 # the ctor INVOKES itself comes from the _RE_NEW scan below
             elif _RE_CASTX.match(rhs):
@@ -827,6 +902,10 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 if not _is_keywordish(ta):
                     mention_once("op", f"operator {mp.group('op')}", ta, 1, [ta])
                     inferred = ta
+            elif _RE_AS.match(rhs):
+                # `var m = o as Dep;` — m narrows to Dep; no conversion
+                # member is invoked (reference conversions bind no symbol)
+                inferred = _RE_AS.match(rhs).group("t").rstrip("?")
             elif _RE_IDENT.match(rhs):
                 if rhs in type_sigs:
                     # method group outside invocation position -> INVOKES
@@ -875,6 +954,37 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             if rt and not _is_keywordish(rt):
                 # implicit conversion at return position
                 conv("conv_impl", ret_tok, rt)
+
+    # --- untyped-lambda argument calls --------------------------------------
+    # `recv.Op(p => p.M(..))`: the lambda parameter takes recv's element
+    # type (pr == p), or the body call goes through its own receiver's
+    # declared type (pr != p). Op itself binds to a BCL extension method
+    # whose metadata key dangles -> no edge. The matched span is blanked so
+    # the call scans below don't mis-parse the swallowed inner call (their
+    # `[^)]*` argument capture stops at the lambda body's first `)`).
+    pieces: list[str] = []
+    last = 0
+    for m in _RE_LAMBDA_CALL.finditer(text):
+        p, pr = m.group("p"), m.group("pr")
+        rt = _elem_type(type_of(m.group("recv"))) if pr == p else type_of(pr)
+        if rt and not _is_keywordish(rt):
+            argstr = m.group("a")
+            args = [_classify_arg(a, locals_, t.fields, t.display)
+                    for a in _split_args(argstr)]
+            mention_once("invoke_via", m.group("m"), rt,
+                         _count_args(argstr), args)
+        pieces.append(text[last:m.start()])
+        pieces.append(" " * (m.end() - m.start()))
+        last = m.end()
+    if pieces:
+        pieces.append(text[last:])
+        text = "".join(pieces)
+
+    # explicit call-site type arguments vanish from the bound display
+    # (Echo<string>("w") binds the definition Echo<T>(T)); strip the list
+    # so the call scans see the plain bare-name + arity shape the link
+    # dictionary matches
+    text = _RE_TARGS_CALL.sub(r"\g<n>(", text)
 
     # --- invocation pass ----------------------------------------------------
     for m in _RE_NEW.finditer(text):

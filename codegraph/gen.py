@@ -189,6 +189,10 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # "System" always present: EventHandler / Console need it to
             # resolve, keeping the subset compile-clean under Roslyn rules
             "ext_usings": ["System"] + rng.sample(EXTERNAL_USINGS[1:], k=rng.randint(0, 2)),
+            # LINQ surface over a generic-collection field: foreach element
+            # typing, an untyped-lambda Select, and query syntax — the
+            # iteration/range/lambda variables all take the element type
+            "has_linq": rng.random() < 0.30,
         })
     # chunk classes into files FIRST (all classes in a file share the
     # file-scoped namespace), then resolve dep namespaces against the
@@ -347,6 +351,10 @@ def _render_csharp(spec: dict) -> str:
         if (c.get("has_box") and c["box_ns"] != ns and c["box_ns"] != c["global_ns"]
                 and c["box_ns"] not in usings):
             usings.append(c["box_ns"])
+        if c.get("has_linq") and c["dep_name"]:
+            for u in ("System.Collections.Generic", "System.Linq"):
+                if u not in usings:
+                    usings.append(u)
     lines = []
     for u in usings:
         lines.append(f"using {u};")
@@ -372,6 +380,8 @@ def _render_one_class(c: dict) -> list:
         lines.append(f"    private readonly {dep} _dep;")
     if c.get("has_box"):
         lines.append("    private readonly Box<int> _box;")
+    if c.get("has_linq") and dep:
+        lines.append(f"    private readonly List<{dep}> _items;")
     if c.get("has_multi"):
         lines.append("    private int _w0, _w1;")
     lines.append("    public int Count { get; set; }")
@@ -479,6 +489,27 @@ def _render_one_class(c: dict) -> list:
         lines.append("    public void UseEcho()")
         lines.append("    {")
         lines.append("        Echo(5);")
+        lines.append("    }")
+        # explicit type-argument call site: Roslyn binds the invocation to
+        # the generic DEFINITION, so the edge lands on Echo<T>(T)
+        lines.append("    public void Nominate()")
+        lines.append("    {")
+        lines.append('        Echo<string>("w");')
+        lines.append("    }")
+    if c.get("has_linq") and dep:
+        # LINQ + iteration element typing: `it` (foreach), `x` (untyped
+        # lambda), and `e` (query range variable) all take the element type
+        # of List<dep>; Select and the query operators themselves bind to
+        # System.Linq metadata symbols whose keys dangle -> no edge
+        lines.append("    public int Rake()")
+        lines.append("    {")
+        lines.append("        foreach (var it in _items)")
+        lines.append("        {")
+        lines.append("            it.Run();")
+        lines.append("        }")
+        lines.append("        var names = _items.Select(x => x.Get(8));")
+        lines.append("        var picked = from e in _items where e.Count > 0 select e.Get(4);")
+        lines.append("        return Count;")
         lines.append("    }")
     if c.get("has_exprop"):
         # expression-bodied property -> Property symbol, not a field

@@ -544,6 +544,13 @@ cmb AS (
          regexp_extract(line, '^    public int Combine\\((\\w+) x', 1) AS dt
   FROM tdisp WHERE regexp_matches(line, '^    public int Combine\\(\\w+ x, \\w+ y\\)$')
 ),
+efields AS (
+  -- element type of the generic-collection field (List<T> -> T): feeds the
+  -- foreach / query-range / untyped-lambda variable typing below
+  SELECT repo, path,
+         regexp_extract(line, '^    private readonly List<(\\w+)> _items;$', 1) AS etype
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly List<\\w+> _items;$')
+),
 calls AS (
   -- _dep.Run()
   SELECT b.repo, b.path, b.cur_method, b.type_display,
@@ -753,6 +760,27 @@ calls AS (
          'Boost(' || f.ftype || ', int)'
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        _dep\\.Boost\\(5\\);$')
+  UNION ALL
+  -- foreach iteration variable takes the collection's ELEMENT type
+  -- (Roslyn binds through GetEnumerator().Current): it.Run()
+  SELECT b.repo, b.path, b.cur_method, b.type_display, e.etype, 'Run()'
+  FROM body b JOIN efields e ON b.repo = e.repo AND b.path = e.path
+  WHERE regexp_matches(b.line, '^            it\\.Run\\(\\);$')
+  UNION ALL
+  -- untyped LINQ lambda: x types from the receiver's element type; the
+  -- Select itself binds a System.Linq metadata symbol -> dangles
+  SELECT b.repo, b.path, b.cur_method, b.type_display, e.etype, 'Get(int)'
+  FROM body b JOIN efields e ON b.repo = e.repo AND b.path = e.path
+  WHERE regexp_matches(b.line, '^        var names = _items\\.Select\\(x => x\\.Get\\(8\\)\\);$')
+  UNION ALL
+  -- query-syntax range variable: same element typing as the lambda
+  SELECT b.repo, b.path, b.cur_method, b.type_display, e.etype, 'Get(int)'
+  FROM body b JOIN efields e ON b.repo = e.repo AND b.path = e.path
+  WHERE regexp_matches(b.line, '^        var picked = from e in _items where e\\.Count > 0 select e\\.Get\\(4\\);$')
+  UNION ALL
+  -- explicit type-argument call binds the generic DEFINITION Echo<T>(T)
+  SELECT repo, path, cur_method, type_display, NULL, 'Echo<T>(T)'
+  FROM body WHERE regexp_matches(line, '^        Echo<string>\\("w"\\);$')
 ),
 resolved AS (
   SELECT c.repo, c.path, c.cur_method, c.type_display, c.callee_sig,
