@@ -97,12 +97,13 @@ _RE_EVENT = re.compile(
 )
 _RE_PROPERTY = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*(?:static\s+|virtual\s+|override\s+)*"
-    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<name>[\w.]+)\s*\{\s*get"
+    r"(?P<type>[\w.]+(?:<[\w.,<>? \[\]]*>)?(?:\[\])?\??)\s+(?P<name>[\w.]+)\s*\{\s*get"
 )
 _RE_FIELD = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
     r"(?:static\s+|readonly\s+|const\s+)*"
-    r"(?P<type>[\w.<>\[\]?]+)\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*(?:=(?!>)[^;]*)?;"
+    r"(?P<type>[\w.]+(?:<[\w.,<>? \[\]]*>)?(?:\[\])?\??)"
+    r"\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*(?:=(?!>)[^;]*)?;"
 )
 # expression-bodied property: `public int Total => Count;` is an
 # IPropertySymbol (get-only), not a field (RoslynSymbolProcessor kinds)
@@ -148,6 +149,30 @@ _RE_CHAIN3 = re.compile(
     r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)"
     r"\s*\.\s*(?P<m3>\w+)\s*\((?P<a3>[^)]*)\)")
 _MAX_CHAIN_HOPS = 2
+# member-access chains with PROPERTY hops: `a.Prop.M()`, `this.P1.P2.M()`,
+# `a.Prop.B().C()` — each segment is a name with or without an argument
+# list; non-final paren-less segments are property hops (name␟P in the hop
+# signature), resolved through the link-time propsig dictionary exactly as
+# call hops resolve through retsig (Roslyn binds the MemberAccessExpression
+# through the property symbol's declared type,
+# MemberDependencyExtractor.cs:77-182). Pure-call chains skip here —
+# _RE_CHAIN/_RE_CHAIN3 already cover them.
+_SEG = r"\w+(?:\([^()]*\))?"
+_RE_MCHAIN = re.compile(
+    r"(?<![\w.])(?P<recv>this|\w+)"
+    r"\.(?P<s1>" + _SEG + r")"
+    r"(?:\.(?P<s2>" + _SEG + r"))?"
+    r"(?:\.(?P<s3>" + _SEG + r"))?")
+# bare property read as a local initializer: `var c = a.Prop;` — the local
+# carries the pending property hop, same tracking as call-return locals
+_RE_PROP_READ = re.compile(r"^(?P<recv>this|\w+)\.(?P<p>\w+)$")
+# indexer receiver: `reg[k].M(..)` — the element access binds this[..],
+# typing the receiver of M by the collection's value/element type
+_RE_INDEX_CALL = re.compile(
+    r"(?<![\w.])(?P<recv>\w+)\[(?P<ix>[^\[\]]*)\]\s*\.\s*(?P<m>\w+)"
+    r"\s*\((?P<a>[^)]*)\)")
+# indexer read as a local initializer: `var v = reg[k];`
+_RE_INDEX_READ = re.compile(r"^(?P<recv>\w+)\[[^\[\]]*\]$")
 # explicitly-typed lambda parameter `(Dep d) =>`: registers d as a local so
 # calls in the lambda body bind through its type (Roslyn walks lambda bodies
 # as part of the enclosing member, MemberDependencyExtractor.cs:77-104;
@@ -161,8 +186,8 @@ _RE_LAMBDA_PARAM = re.compile(r"\(\s*(?P<tok>[A-Z]\w*)\s+(?P<name>\w+)\s*\)\s*=>
 # invocation; the lexer reproduces the element-type inference for the
 # collection shapes the subset declares)
 _RE_FOREACH = re.compile(
-    r"\bforeach\s*\(\s*(?P<tok>var|[\w.<>\[\]?]+)\s+(?P<name>\w+)"
-    r"\s+in\s+(?P<src>\w+)\s*\)")
+    r"\bforeach\s*\(\s*(?P<tok>var|[\w.]+(?:<[\w.,<>? \[\]]*>)?(?:\[\])?\??)"
+    r"\s+(?P<name>\w+)\s+in\s+(?P<src>\w+)\s*\)")
 _RE_QUERY_FROM = re.compile(r"\bfrom\s+(?P<name>\w+)\s+in\s+(?P<src>\w+)\b")
 # one-call untyped-lambda argument `recv.Op(p => p.M(..))`: Op binds to a
 # BCL extension method (System.Linq metadata symbol -> key dangles, no
@@ -196,12 +221,44 @@ def _elem_type(tok: str | None) -> str | None:
     return m.group("e") if m else None
 
 
+# dictionary-shaped tokens for indexer element typing: recv[k] binds the
+# this[..] indexer, whose type is the VALUE type argument (Roslyn binds the
+# ElementAccessExpression through the indexer symbol)
+_RE_DICT = re.compile(
+    r"^(?:System\.Collections\.Generic\.)?"
+    r"(?:Dictionary|IDictionary|IReadOnlyDictionary|SortedDictionary"
+    r"|ConcurrentDictionary)<(?P<a>.+)>$")
+
+
+def _index_elem_type(tok: str | None) -> str | None:
+    """Type produced by an indexer access ``recv[..]``: dictionaries yield
+    their VALUE type argument (top-level-comma split handles nested
+    generics), lists/arrays their element type, anything else None."""
+    if not tok:
+        return None
+    tok = tok.rstrip("?")
+    m = _RE_DICT.match(tok)
+    if m:
+        s = m.group("a")
+        depth, last_comma = 0, None
+        for i, ch in enumerate(s):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last_comma = i
+        return s[last_comma + 1:].strip() if last_comma is not None else None
+    return _elem_type(tok)
+
+
 # generic constraint clause at the end of a type/method declaration line:
 # Roslyn displays ignore constraints (CSharpErrorMessageFormat), so the
 # lexer strips the clause before matching the declaration shape
 _RE_WHERE = re.compile(r"\s+where\s+\w+\s*:\s*[^({]+$")
 _RE_LOCAL = re.compile(
-    r"^\s*(?P<tok>var|[\w.<>\[\]?]+)\s+(?P<name>\w+)\s*=\s*(?P<rhs>[^;]+);")
+    r"^\s*(?P<tok>var|[\w.]+(?:<[\w.,<>? \[\]]*>)?(?:\[\])?\??)"
+    r"\s+(?P<name>\w+)\s*=\s*(?P<rhs>[^;]+);")
 _RE_BIN = re.compile(
     r"^(?P<a>\w+)\s*(?P<op>\+|-|\*|/|%|==|!=|>=|<=|>|<|\||&|\^)\s*(?P<b>\w+)$")
 _RE_PRE = re.compile(r"^(?P<op>\+\+|--|!|~|-)\s*(?P<a>\w+)$")
@@ -602,6 +659,21 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             # emit no C# DEPENDS_ON edge themselves
             em.mention("basesig", t.key, "", b, t.display, cand_ns, None)
 
+        # property/field type records for the link-time propsig dictionary:
+        # property hops (`a.Prop.M()`) step through the member's declared
+        # type. Emitted for EVERY accessibility — compile-valid source only
+        # contains accesses the member's accessibility permits, so the
+        # binding needs no filter here (the indexing min-accessibility
+        # filter governs which SYMBOLS are exported, not how receivers
+        # bind). Column reuse: m_recv=declaring type display, m_head=member
+        # type token, m_nargs=-1 (the prop-hop rank sentinel).
+        for mrec in t.members:
+            if mrec["mkind"] in ("Property", "Field") and mrec.get("type"):
+                em.mention("propsig",
+                           keys.csharp_key(repo, f"{t.display}.{mrec['name']}"),
+                           "", mrec["name"], t.display, [], -1,
+                           m_head=mrec["type"].rstrip("?"))
+
         # own-type method signature map (overload-aware; used for method
         # groups and same-class argument conversions)
         type_sigs: dict[str, list[list[str]]] = {}
@@ -906,6 +978,11 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 # `var m = o as Dep;` — m narrows to Dep; no conversion
                 # member is invoked (reference conversions bind no symbol)
                 inferred = _RE_AS.match(rhs).group("t").rstrip("?")
+            elif _RE_INDEX_READ.fullmatch(rhs):
+                # `var v = reg[k];` — the element access binds this[..];
+                # v takes the collection's value/element type
+                rtok = type_of(_RE_INDEX_READ.fullmatch(rhs).group("recv"))
+                inferred = _index_elem_type(rtok)
             elif _RE_IDENT.match(rhs):
                 if rhs in type_sigs:
                     # method group outside invocation position -> INVOKES
@@ -924,9 +1001,18 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 # emit chain mentions (Roslyn type-tracks the local through
                 # the semantic model, MemberDependencyExtractor.cs:77-182)
                 trk = None
-                m3_ = _RE_CHAIN3.fullmatch(rhs)
-                m2_ = _RE_CHAIN.fullmatch(rhs) if m3_ is None else None
-                m1_ = (_RE_CALL.fullmatch(rhs)
+                # `var r = await <call>;` — the local takes the awaited
+                # call's UNWRAPPED result (Task<T> -> T); the hop carries an
+                # '@' marker so the link-time step applies the unwrap
+                # (Roslyn: the await-expression's type is the awaiter's
+                # GetResult type)
+                rhs_c = rhs
+                awaited = rhs_c.startswith("await ")
+                if awaited:
+                    rhs_c = rhs_c[6:].lstrip()
+                m3_ = _RE_CHAIN3.fullmatch(rhs_c)
+                m2_ = _RE_CHAIN.fullmatch(rhs_c) if m3_ is None else None
+                m1_ = (_RE_CALL.fullmatch(rhs_c)
                        if m3_ is None and m2_ is None else None)
                 if m3_ is not None:
                     trk = (m3_.group("recv"),
@@ -944,6 +1030,17 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                     if base_info is not None:
                         base, prefix = base_info
                         hops = prefix + tuple(hop_sig(n, a) for n, a in trk[1])
+                        if awaited:
+                            hops = hops[:-1] + ("@" + hops[-1],)
+                        if len(hops) <= _MAX_CHAIN_HOPS:
+                            local_heads[name] = (base, hops)
+                elif not awaited and (mpr := _RE_PROP_READ.fullmatch(rhs_c)):
+                    # `var c = a.Prop;` — the local carries a pending
+                    # property hop (propsig lookup at link time)
+                    base_info = chain_base(mpr.group("recv"))
+                    if base_info is not None:
+                        base, prefix = base_info
+                        hops = prefix + (mpr.group("p") + US + "P",)
                         if len(hops) <= _MAX_CHAIN_HOPS:
                             local_heads[name] = (base, hops)
             locals_[name] = declared or inferred or ""
@@ -1026,6 +1123,53 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             base, prefix = base_info
             hops = prefix + tuple(hop_sig(n, a) for n, a in parts[:-1])
             emit_chain(base, hops, parts[-1][0], parts[-1][1])
+
+    # member-access chains containing PROPERTY hops: `a.Prop.M()`,
+    # `this.P1.P2.M()`, mixed `a.Prop.B().M()` / `a.B().Prop.M()`. Pure-call
+    # chains skip (the _RE_CHAIN/_RE_CHAIN3 scans above own them); the final
+    # segment must be an invocation (a bare trailing property reads no
+    # member the subset records). Namespace-qualified static calls
+    # (`Sys.Util.Go()`) parse as property hops off a static type receiver
+    # and drop in the propsig lookup — same no-edge outcome they had before.
+    for m in _RE_MCHAIN.finditer(text):
+        segs = [m.group(g) for g in ("s1", "s2", "s3") if m.group(g)]
+        parsed = []
+        for s in segs:
+            if "(" in s:
+                nm, arg = s.split("(", 1)
+                parsed.append((nm.strip(), arg[:-1], True))
+            else:
+                parsed.append((s, None, False))
+        if not parsed[-1][2]:
+            continue  # no trailing invocation
+        hops_src = parsed[:-1]
+        if not hops_src or all(is_call for _, _, is_call in hops_src):
+            continue  # plain call or pure-call chain: covered above
+        if any(nm in _MODIFIER_WORDS for nm, _, _ in parsed):
+            continue
+        pre = text[max(0, m.start() - 4):m.start()]
+        if pre.endswith("new ") or pre.endswith("new"):
+            continue
+        base_info = chain_base(m.group("recv"))
+        if base_info is None:
+            continue
+        base, prefix = base_info
+        hops = prefix + tuple(
+            hop_sig(nm, arg) if is_call else nm + US + "P"
+            for nm, arg, is_call in hops_src)
+        emit_chain(base, hops, parsed[-1][0], parsed[-1][1])
+
+    # indexer receivers: `reg[k].M(..)` — the element access binds this[..];
+    # M resolves against the collection's value/element type (an unknown or
+    # non-collection receiver dangles, the reference's no-edge outcome)
+    for m in _RE_INDEX_CALL.finditer(text):
+        rt = _index_elem_type(type_of(m.group("recv")))
+        if rt and not _is_keywordish(rt):
+            argstr = m.group("a")
+            mention_once("invoke_via", m.group("m"), rt,
+                         _count_args(argstr),
+                         [_classify_arg(a, locals_, t.fields, t.display)
+                          for a in _split_args(argstr)])
 
     for m in _RE_CALL.finditer(text):
         recv, name, argstr = m.group("recv"), m.group("name"), m.group(3)

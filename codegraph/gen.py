@@ -193,6 +193,15 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # typing, an untyped-lambda Select, and query syntax — the
             # iteration/range/lambda variables all take the element type
             "has_linq": rng.random() < 0.30,
+            # async surface: Task<T>-returning method + an awaited call
+            # whose result local binds through the UNWRAPPED return type
+            "has_async": rng.random() < 0.25,
+            # property-hop navigation `_dep.Item.Run()`: binds through the
+            # dep's Item property type (requires dep_has_prop2, gated below)
+            "has_propnav": rng.random() < 0.25,
+            # dictionary-indexer receivers `_reg["a"].Run()`: the element
+            # access types through the collection's VALUE argument
+            "has_index": rng.random() < 0.25,
         })
     # chunk classes into files FIRST (all classes in a file share the
     # file-scoped namespace), then resolve dep namespaces against the
@@ -221,6 +230,12 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
         c["dep_has_ops"] = bool(d and d["has_ops"])
         # cross-type chain needs the dep to declare Self()
         c["dep_has_chain"] = bool(d and d["has_chain"])
+        # property-hop navigation needs the dep to declare Item (has_prop2
+        # + its own dep); the hop's result type is the GRAND-dep
+        gd = (by_idx.get(d["dep"])
+              if d and d["has_prop2"] and d["dep"] is not None else None)
+        c["dep_item_type"] = gd["name"] if gd else None
+        c["dep_item_ns"] = gd["ns"] if gd else None
         c["global_ns"] = global_ns
         c["box_ns"] = box_ns
 

@@ -32,15 +32,21 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
    arity.
 
    Two member-lookup extensions mirror Roslyn's binding order:
-   * **call chains, up to two hops** — ``a.B().C()``, ``a.B().C().D()``,
-     and their var-tracked equivalents (``var x = a.B(); x.C()``: the local
-     carries B's pending return): extraction emits a ``chain`` mention
-     whose ``m_head`` lists the head-call signatures; resolution consumes
-     one hop per loop iteration — look the head up in a return-token
-     dictionary (``retsig`` records emitted per method declaration),
-     resolve the return token like any other type mention, repeat — and
-     binds the final member on the result. Head-overload ambiguity, a
-     keyword/BCL return, or a 3+-hop chain drops (the reference's
+   * **access chains, up to two hops** — ``a.B().C()``, ``a.B().C().D()``,
+     property hops (``a.Prop.M()``, ``this.Prop.M()``), awaited heads
+     (``var r = await a.GetAsync(); r.M()``), and their var-tracked
+     equivalents (``var x = a.B(); x.C()``: the local carries B's pending
+     return): extraction emits a ``chain`` mention whose ``m_head`` lists
+     the hop signatures; resolution consumes one hop per loop iteration —
+     a call hop looks its head up in a return-token dictionary (``retsig``
+     records emitted per method declaration), a property hop (``name␟P``)
+     in a property/field type dictionary (``propsig`` records), an awaited
+     hop (``@``-prefixed) additionally unwraps ``Task<T>``/``ValueTask<T>``
+     to ``T`` (Roslyn: the await-expression's type is the awaiter's
+     GetResult type) — then resolves the result token like any other type
+     mention and repeats, binding the final member on the outcome.
+     Head-overload ambiguity, a keyword/BCL result, an awaited
+     non-Task-shaped return, or a 3+-hop chain drops (the reference's
      dangling-edge outcome; Roslyn binds arbitrary depth semantically).
    * **extension methods** — receiver-typed calls that found NO applicable
      instance member fall through to an ``extsig`` dictionary of static
@@ -265,7 +271,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # m_usings / path columns are excluded, so this dedup shuffle and the
     # recovery joins stay compact. Side-channel records (retsig/extsig/
     # global_using) never resolve, so they stay out of the dim too.
-    dim = (mentions.filter(~F.col("m_kind").isin("retsig", "extsig",
+    dim = (mentions.filter(~F.col("m_kind").isin("retsig", "extsig", "propsig",
                                                  "basesig", "global_using"))
            .select("repo", "mid", "m_kind", "m_from_key", "m_rel",
                    "m_name", "m_recv", "m_nargs", "m_args", "m_head")
@@ -373,7 +379,23 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                     .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
                     .alias("r_params"),
                     F.col("m_head").alias("r_ret"))
-            .distinct())
+            .distinct()
+            .withColumn("r_prop", F.lit(False)))
+    # property/field type dictionary: a property hop (`a.Prop.M()`) steps
+    # through the member's declared type token instead of a call return.
+    # Same bounded dictionary scale as retsig; r_nparams = -1 sentinel keeps
+    # the shared rank expression exact-matching prop hops only.
+    nargs_t = dict(mentions.dtypes)["m_nargs"]
+    props = (mentions.filter(F.col("m_kind") == "propsig")
+             .select(F.col("repo").alias("rr_repo"),
+                     F.col("m_recv").alias("rt_display"),
+                     F.col("m_name").alias("r_name"),
+                     F.lit(-1).cast(nargs_t).alias("r_nparams"),
+                     F.lit("").alias("r_params"),
+                     F.col("m_head").alias("r_ret"))
+             .distinct()
+             .withColumn("r_prop", F.lit(True)))
+    rets = rets.unionByName(props)
     chain_cols = ["repo", "mid", "m_head", "t_display"]
     ch_via = resolved_full.filter(kind == "chain_via").select(*chain_cols)
     ch_own = (dim.filter(kind == "chain_own")
@@ -397,10 +419,15 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     done = None
     for _hop in range(2):
         hp = F.split(F.element_at(F.col("hops"), 1), US)
+        raw_name = hp.getItem(0)
+        is_prop = hp.getItem(1) == F.lit("P")
         cur = pending.select(
             "repo", "mid", "t_display",
-            hp.getItem(0).alias("h_name"),
-            hp.getItem(1).cast("int").alias("h_nargs"),
+            F.regexp_replace(raw_name, "^@", "").alias("h_name"),
+            raw_name.startswith("@").alias("h_await"),
+            is_prop.alias("h_prop"),
+            F.when(is_prop, F.lit(-1))
+            .otherwise(hp.getItem(1).cast("int")).alias("h_nargs"),
             F.array_join(
                 F.slice(hp, F.lit(3), F.greatest(F.size(hp) - 2, F.lit(0))),
                 ", ").alias("h_args"))
@@ -408,7 +435,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
             rets,
             on=[F.col("repo") == F.col("rr_repo"),
                 F.col("t_display") == F.col("rt_display"),
-                F.col("h_name") == F.col("r_name")],
+                F.col("h_name") == F.col("r_name"),
+                F.col("h_prop") == F.col("r_prop")],
             how="inner")
         hrank = (F.when(~F.col("h_args").contains("?")
                         & (F.col("r_params") == F.col("h_args")), F.lit(0))
@@ -422,13 +450,24 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                  .alias("_minr"),
                  F.expr("max_by(struct(r_params, r_ret), struct(-_hr, r_params))")
                  .alias("_maxr"),
-                 F.max(F.col("h_args").contains("?")).alias("_hunk")))
+                 F.max(F.col("h_args").contains("?")).alias("_hunk"),
+                 F.first("h_await").alias("h_await")))
         # head overload ambiguity mirrors the member pass: an arity-rank tie
-        # with unclassified args is a Roslyn error -> the whole chain drops
+        # with unclassified args is a Roslyn error -> the whole chain drops.
+        # An awaited hop unwraps Task<T>/ValueTask<T> to T (the awaiter's
+        # GetResult type); a non-Task-shaped awaited return extracts '' and
+        # drops (custom awaitables are out of the lexer subset).
         h_ok = (hranked
                 .filter(~(F.col("_hunk") & (F.col("_h0") >= 1)
                           & (F.col("_minr") != F.col("_maxr"))))
-                .select("repo", "mid", F.col("_minr.r_ret").alias("r_ret")))
+                .select("repo", "mid",
+                        F.when(F.col("h_await"),
+                               F.regexp_extract(
+                                   F.col("_minr.r_ret"),
+                                   r"^(?:System\.Threading\.Tasks\.)?"
+                                   r"(?:Task|ValueTask)<(.+)>$", 1))
+                        .otherwise(F.col("_minr.r_ret")).alias("r_ret"))
+                .filter(F.col("r_ret") != ""))
         # keyword/BCL return types: the chained target is a metadata member
         # whose key dangles either way -> no edge (MergeRelationships.cypher:1-5)
         h_ok = h_ok.filter(~F.array_contains(kw, F.col("r_ret"))
