@@ -370,6 +370,19 @@ def _render_csharp(spec: dict) -> str:
             for u in ("System.Collections.Generic", "System.Linq"):
                 if u not in usings:
                     usings.append(u)
+        if (c.get("has_index") and c["dep_name"]
+                and "System.Collections.Generic" not in usings):
+            usings.append("System.Collections.Generic")
+        if (c.get("has_async") and c["dep_name"]
+                and "System.Threading.Tasks" not in usings):
+            usings.append("System.Threading.Tasks")
+        # property-hop navigation resolves the GRAND-dep token (the dep's
+        # Item property type) against THIS file's candidate namespaces
+        if (c.get("has_propnav") and c["dep_name"] and c["dep_item_type"]
+                and c["dep_item_ns"] and c["dep_item_ns"] != ns
+                and c["dep_item_ns"] != c["global_ns"]
+                and c["dep_item_ns"] not in usings):
+            usings.append(c["dep_item_ns"])
     lines = []
     for u in usings:
         lines.append(f"using {u};")
@@ -397,6 +410,8 @@ def _render_one_class(c: dict) -> list:
         lines.append("    private readonly Box<int> _box;")
     if c.get("has_linq") and dep:
         lines.append(f"    private readonly List<{dep}> _items;")
+    if c.get("has_index") and dep:
+        lines.append(f"    private readonly Dictionary<string, {dep}> _reg;")
     if c.get("has_multi"):
         lines.append("    private int _w0, _w1;")
     lines.append("    public int Count { get; set; }")
@@ -637,6 +652,39 @@ def _render_one_class(c: dict) -> list:
         lines.append("    public void UseBoost()")
         lines.append("    {")
         lines.append("        _dep.Boost(5);")
+        lines.append("    }")
+    if c.get("has_async") and dep:
+        # async surface: the awaited call's result local binds through the
+        # UNWRAPPED return type (Roslyn: the await-expression's type is the
+        # awaiter's GetResult type, Task<T> -> T); the head call keeps its
+        # own edge
+        lines.append(f"    public async Task<{dep}> FetchAsync()")
+        lines.append("    {")
+        lines.append("        return _dep;")
+        lines.append("    }")
+        lines.append("    public async Task PumpAsync()")
+        lines.append("    {")
+        lines.append("        var got = await FetchAsync();")
+        lines.append("        got.Run();")
+        lines.append("    }")
+    if c.get("has_propnav") and dep and c["dep_item_type"]:
+        # property-hop navigation: both calls bind through the dep's Item
+        # property type (the GRAND-dep class) via the propsig dictionary;
+        # the second pair var-tracks the property read through a local
+        lines.append("    public void Navigate()")
+        lines.append("    {")
+        lines.append("        _dep.Item.Run();")
+        lines.append("        var c = _dep.Item;")
+        lines.append("        c.Get(6);")
+        lines.append("    }")
+    if c.get("has_index") and dep:
+        # dictionary-indexer receivers: the element access binds this[..];
+        # members resolve against the collection token's VALUE argument
+        lines.append("    public void Lookup()")
+        lines.append("    {")
+        lines.append('        _reg["a"].Run();')
+        lines.append('        var v = _reg["b"];')
+        lines.append("        v.Get(3);")
         lines.append("    }")
     if c.get("has_ambig"):
         # same-arity overloads: Pick(Count + 1) passes an EXPRESSION the

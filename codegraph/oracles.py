@@ -94,6 +94,17 @@ members AS (
        unnest(string_split(regexp_extract(line, '^    private int ((?:_\w+, )*_\w+);', 1), ',')) AS v(nm)
   WHERE regexp_matches(line, '^    private int (_\w+, )+_\w+;')
   UNION ALL
+  -- constructed-generic dictionary field (comma in the type token keeps it
+  -- outside the single-declarator branch above)
+  SELECT repo, path, ns, ln, type_display, 'Field',
+         regexp_extract(line, '^    private readonly Dictionary<string, \w+> (_\w+);', 1), NULL
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly Dictionary<string, \w+> _\w+;$')
+  UNION ALL
+  -- async methods: Task/Task<T> wrappers never reach the member display
+  SELECT repo, path, ns, ln, type_display, 'Method',
+         regexp_extract(line, '^    public async (?:Task|Task<\w+>) (\w+)\(\)$', 1) || '()', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public async (?:Task|Task<\w+>) \w+\(\)$')
+  UNION ALL
   -- enum members
   SELECT repo, path, ns, ln, type_display, 'Field',
          regexp_extract(line, '^    (\w+),?$', 1), NULL
@@ -277,11 +288,13 @@ SELECT repo, path,
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\) where ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
                             AND NOT regexp_matches(l, '^    public static (implicit|explicit) operator ')))
-    + len(list_filter(ls, l -> regexp_matches(l, '^    public static (implicit|explicit) operator '))) AS n_methods,
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public static (implicit|explicit) operator ')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public async (?:Task|Task<\\w+>) \\w+\\(\\)$'))) AS n_methods,
   len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w?]+ \\w+ \\{{ get; set; \\}}$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+ => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^        public int Size \\{{ get; set; \\}}$'))) AS n_properties,
   len(list_filter(ls, l -> regexp_matches(l, '^    private readonly [\\w<>]+ _\\w+;$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    private readonly Dictionary<string, \\w+> _\\w+;$')))
     + 2 * len(list_filter(ls, l -> regexp_matches(l, '^    private int (_\\w+, )+_\\w+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    \\w+,?$'))) AS n_fields,
   len(list_filter(ls, l -> regexp_matches(l, '^    public event EventHandler \\w+;$'))) AS n_events
@@ -551,6 +564,28 @@ efields AS (
          regexp_extract(line, '^    private readonly List<(\\w+)> _items;$', 1) AS etype
   FROM tdisp WHERE regexp_matches(line, '^    private readonly List<\\w+> _items;$')
 ),
+rfields AS (
+  -- VALUE type of the dictionary field: `_reg[k]` binds the this[..]
+  -- indexer, typing the element access by the value argument
+  SELECT repo, path,
+         regexp_extract(line, '^    private readonly Dictionary<string, (\\w+)> _reg;$', 1) AS rtype
+  FROM tdisp WHERE regexp_matches(line, '^    private readonly Dictionary<string, \\w+> _reg;$')
+),
+itemc AS (
+  -- Item property type PER DECLARING CLASS (repo-wide): property-hop
+  -- navigation `_dep.Item.X()` steps dep -> dep's Item type (the grand-dep)
+  SELECT repo, type_display AS decl_display,
+         regexp_extract(line, '^    public (\\w+) Item \\{{ get; set; \\}}', 1) AS itype
+  FROM tdisp WHERE regexp_matches(line, '^    public \\w+ Item \\{{ get; set; \\}}$')
+),
+gitem AS (
+  -- grand-dep type reachable from each file's _dep field: fields -> the
+  -- dep class (name-unique per repo) -> its Item property type
+  SELECT DISTINCT f.repo, f.path, ic.itype
+  FROM fields f
+  JOIN cs_types dt ON dt.repo = f.repo AND dt.name = f.ftype
+  JOIN itemc ic ON ic.repo = f.repo AND ic.decl_display = dt.display
+),
 calls AS (
   -- _dep.Run()
   SELECT b.repo, b.path, b.cur_method, b.type_display,
@@ -781,6 +816,37 @@ calls AS (
   -- explicit type-argument call binds the generic DEFINITION Echo<T>(T)
   SELECT repo, path, cur_method, type_display, NULL, 'Echo<T>(T)'
   FROM body WHERE regexp_matches(line, '^        Echo<string>\\("w"\\);$')
+  UNION ALL
+  -- awaited own-type head call keeps its own edge: var got = await FetchAsync();
+  SELECT repo, path, cur_method, type_display, NULL, 'FetchAsync()'
+  FROM body WHERE regexp_matches(line, '^        var got = await FetchAsync\\(\\);$')
+  UNION ALL
+  -- the awaited local unwraps Task<T> -> T (the dep class): got.Run()
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        got\\.Run\\(\\);$')
+  UNION ALL
+  -- property-hop navigation _dep.Item.Run(): binds through the dep's Item
+  -- property type (the grand-dep class)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, g.itype, 'Run()'
+  FROM body b JOIN gitem g ON b.repo = g.repo AND b.path = g.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Item\\.Run\\(\\);$')
+  UNION ALL
+  -- var-tracked property read (`var c = _dep.Item; c.Get(6)`): same hop
+  SELECT b.repo, b.path, b.cur_method, b.type_display, g.itype, 'Get(int)'
+  FROM body b JOIN gitem g ON b.repo = g.repo AND b.path = g.path
+  WHERE regexp_matches(b.line, '^        c\\.Get\\(6\\);$')
+  UNION ALL
+  -- dictionary-indexer receiver _reg["a"].Run(): the element access binds
+  -- this[..], typing the receiver by the VALUE argument
+  SELECT b.repo, b.path, b.cur_method, b.type_display, r.rtype, 'Run()'
+  FROM body b JOIN rfields r ON b.repo = r.repo AND b.path = r.path
+  WHERE regexp_matches(b.line, '^        _reg\\["a"\\]\\.Run\\(\\);$')
+  UNION ALL
+  -- var-tracked indexer read (`var v = _reg["b"]; v.Get(3)`)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, r.rtype, 'Get(int)'
+  FROM body b JOIN rfields r ON b.repo = r.repo AND b.path = r.path
+  WHERE regexp_matches(b.line, '^        v\\.Get\\(3\\);$')
 ),
 resolved AS (
   SELECT c.repo, c.path, c.cur_method, c.type_display, c.callee_sig,
