@@ -346,6 +346,23 @@ def _q_kg_operator_invokes(spark, sf_dir):
             .select("repo", "src_key", "dst_key"))
 
 
+def _q_kg_method_groups(spark, sf_dir):
+    # round-5 reference-parity shapes isolated as a named correctness row:
+    # member-access/argument method groups (Wire), out-var call sites
+    # (UseTry), ternary + interpolated-string sites (Branch),
+    # assignment-position conversions (Shift). Label (nameof) and Fire
+    # (event fire-site) bind NOTHING — a spurious edge from either breaks
+    # the hash against the oracle, which enumerates no row for them.
+    res = _pipeline_result(spark, sf_dir)
+    return (res["linked"]
+            .filter("rel_type = 'src__INVOKES' AND ("
+                    "src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' "
+                    "OR src_key LIKE '%.Branch(bool)' "
+                    "OR src_key LIKE '%.Shift(%' "
+                    "OR src_key LIKE '%.Label()' OR src_key LIKE '%.Fire()')")
+            .select("repo", "src_key", "dst_key"))
+
+
 def _q_kg_depends_edges(spark, sf_dir):
     # in-repo type->type DEPENDS_ON survivors of the dangling drop
     res = _pipeline_result(spark, sf_dir)
@@ -555,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_contains_edges": _q_kg_contains_edges,
         "kg_invokes_edges": _q_kg_invokes_edges,
         "kg_operator_invokes": _q_kg_operator_invokes,
+        "kg_method_groups": _q_kg_method_groups,
         "kg_depends_edges": _q_kg_depends_edges,
         "kg_node_counts": _q_kg_node_counts,
         "kg_cc": _q_kg_cc,

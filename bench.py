@@ -257,8 +257,11 @@ def main():
                        "thr": {str(k): round(v, 1) for k, v in thr.items()}}
             log("bench: scaling partial — not enough legs for an efficiency "
                 f"ratio ({legs_run}/{len(legs)})")
-        if os.environ.get("SPARK_GRAFT_SCALE_TOPO"):
-            # Separate-executor-JVM topology control (opt-in): the same job
+        if not os.environ.get("SPARK_GRAFT_SKIP_TOPO"):
+            # Separate-executor-JVM topology control (default-on so the
+            # driver artifact carries it; SPARK_GRAFT_SKIP_TOPO=1 disables,
+            # and the budget guard skips legs when the window is tight):
+            # the same job
             # on local-cluster[W,1,mem] — one JVM per executor, 1 core + 5g
             # heap each, ActiveProcessorCount=1 so each executor sizes
             # GC/JIT for its single core. Thread-mode local[N] shares one

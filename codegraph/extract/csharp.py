@@ -201,6 +201,26 @@ _RE_LAMBDA_CALL = re.compile(
 # `new X<T>(...)` keeps its list: constructed-ctor keys dangle like the
 # reference's metadata symbols.
 _RE_TARGS_CALL = re.compile(r"(?<![\w.])(?<!new )(?P<n>\w+)<[\w.?, ]+>\s*\(")
+# method group behind a member access: `recv.Name` with NO argument list
+# and no further member segment — MemberAccessExpressionSyntax outside
+# invocation position binds an IMethodSymbol when the name is a method
+# group (MemberDependencyExtractor.cs:163-169); property/field reads
+# resolve to non-method symbols and add nothing, which the link-time
+# Method-only member dictionary reproduces structurally (no Method row ->
+# the mention drops)
+_RE_MGROUP = re.compile(
+    r"(?<![\w.)\]])(?P<recv>[A-Za-z_]\w*)\s*\.\s*(?P<name>[A-Za-z_]\w*)"
+    r"(?!\s*[\w(.\[<])")
+# simple-assignment statement: `name = rhs;` — the RHS is an implicit-
+# conversion candidate (AssignmentExpressionSyntax right,
+# MemberDependencyExtractor.cs:210)
+_RE_ASSIGN = re.compile(
+    r"^(?P<name>[A-Za-z_]\w*)\s*=\s*(?P<rhs>[^=;][^;]*);$")
+# conditional expression over two identifiers: `cond ? a : b` — when both
+# operands share one declared type, that is the expression's type (Roslyn's
+# best-common-type reduces to it); differing operand types are out of the
+# lexer subset -> the local stays untyped and later calls on it drop
+_RE_TERNARY = re.compile(r"^[^?:]+\?\s*(?P<a>\w+)\s*:\s*(?P<b>\w+)$")
 _GENERIC_COLLECTIONS = (
     "List", "IList", "IEnumerable", "ICollection", "IReadOnlyList",
     "IReadOnlyCollection", "ISet", "HashSet", "Queue", "Stack",
@@ -311,15 +331,31 @@ def _passes(acc: str, min_acc: int, explicit_iface: bool = False) -> bool:
     return not (a < min_acc and a != ACC_NOT_APPLICABLE and not explicit_iface)
 
 
+_REF_KINDS = ("out", "ref", "in", "params")
+
+
 def _parse_params(pstr: str) -> list[tuple[str, str]]:
+    """(display-token, name) pairs. Ref-kind modifiers stay in the display
+    token — CSharpErrorMessageFormat renders `TryGet(out int)` — while
+    `_strip_ref` recovers the bare type for dep emission and local typing.
+    The `this` receiver modifier of extension methods is dropped from the
+    display (the reference's keys show 'Boost(Widget5, int)')."""
     params = []
     pstr = pstr.strip()
     if pstr:
         for p in pstr.split(","):
             toks = p.strip().split()
-            if len(toks) >= 2:
+            if len(toks) >= 3 and toks[-3] in _REF_KINDS:
+                params.append((f"{toks[-3]} {toks[-2]}", toks[-1]))
+            elif len(toks) >= 2:
                 params.append((toks[-2], toks[-1]))  # (type, name)
     return params
+
+
+def _strip_ref(tok: str) -> str:
+    """Bare type token of a possibly ref-kind-prefixed parameter display."""
+    head, _, rest = tok.partition(" ")
+    return rest if rest and head in _REF_KINDS else tok
 
 
 class _Type:
@@ -741,9 +777,10 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                                    ptoks[0].rstrip("?"), [], len(ptoks) - 1,
                                    m_args=ptoks[1:], m_head=display)
                 # param-type deps from the containing TYPE
-                # (MemberDependencyExtractor.cs:232-243)
+                # (MemberDependencyExtractor.cs:232-243); the dep targets
+                # the parameter's TYPE, so ref-kind display prefixes strip
                 for ptok, _pn in mrec["params"]:
-                    _emit_type_dep(em, repo, t.key, ptok, cand_ns)
+                    _emit_type_dep(em, repo, t.key, _strip_ref(ptok), cand_ns)
                 # return-type dep for non-ctors (:245-253)
                 if mrec.get("ret"):
                     _emit_type_dep(em, repo, t.key, mrec["ret"], cand_ns)
@@ -826,7 +863,8 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # tokens are followed by whitespace, ternaries space their '?')
     text = text.replace("?.", ".")
 
-    locals_: dict[str, str] = {pn: ptok for ptok, pn in mrec.get("params", [])}
+    locals_: dict[str, str] = {pn: _strip_ref(ptok)
+                               for ptok, pn in mrec.get("params", [])}
     # explicitly-typed lambda params act as typed locals for the body walk
     # (scoping is flattened to the member — acceptable in the subset, where
     # lambda param names don't shadow other locals)
@@ -983,6 +1021,12 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 # v takes the collection's value/element type
                 rtok = type_of(_RE_INDEX_READ.fullmatch(rhs).group("recv"))
                 inferred = _index_elem_type(rtok)
+            elif (mt := _RE_TERNARY.match(rhs)) is not None:
+                # `var pick = f ? a : b;` — same-typed operands give the
+                # conditional expression its type (best common type)
+                ta, tb = type_of(mt.group("a")), type_of(mt.group("b"))
+                if ta is not None and ta == tb and not _is_keywordish(ta):
+                    inferred = ta
             elif _RE_IDENT.match(rhs):
                 if rhs in type_sigs:
                     # method group outside invocation position -> INVOKES
@@ -1044,6 +1088,20 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                         if len(hops) <= _MAX_CHAIN_HOPS:
                             local_heads[name] = (base, hops)
             locals_[name] = declared or inferred or ""
+            continue
+        ma = _RE_ASSIGN.match(s)
+        if ma:
+            # implicit conversion at ASSIGNMENT position (`n = q;` after
+            # declaration): AssignmentExpressionSyntax right-hand sides are
+            # conversion candidates (MemberDependencyExtractor.cs:205-216);
+            # the mention drops unless a user-defined implicit operator
+            # exists between the RHS type and the target's declared type
+            declared = type_of(ma.group("name"))
+            rhs = ma.group("rhs").strip()
+            if declared and _RE_IDENT.match(rhs):
+                rt = type_of(rhs)
+                if rt and not _is_keywordish(rt):
+                    conv("conv_impl", declared, rt)
             continue
         mr = _RE_RET.match(s)
         if mr and ret_tok and ret_tok != "void":
@@ -1159,6 +1217,29 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             for nm, arg, is_call in hops_src)
         emit_chain(base, hops, parsed[-1][0], parsed[-1][1])
 
+    # method groups behind a member access: `Action f = _dep.Run;`,
+    # `Accept(_dep.Run);` — a MemberAccessExpressionSyntax that is NOT an
+    # invocation target binds to the method symbol when the name is a
+    # method group (MemberDependencyExtractor.cs:163-169). The mention
+    # carries no argument list; the link-time lookup matches by bare name
+    # against the Method-only dictionary, so property/field READS through
+    # the same syntax resolve to non-method symbols and add nothing (the
+    # reference's IMethodSymbol pattern-match filter)
+    for m in _RE_MGROUP.finditer(text):
+        recv, gname = m.group("recv"), m.group("name")
+        if recv in _MODIFIER_WORDS or gname in _MODIFIER_WORDS:
+            continue
+        base_info = chain_base(recv)
+        if base_info is None:
+            continue  # keyword/BCL/unknown receiver -> metadata symbol -> dangles
+        base, prefix = base_info
+        if prefix:
+            continue  # group off a tracked chain head: out of the subset
+        if base is None:
+            mention_once("invoke", gname, t.display)
+        else:
+            mention_once("invoke_via", gname, base)
+
     # indexer receivers: `reg[k].M(..)` — the element access binds this[..];
     # M resolves against the collection's value/element type (an unknown or
     # non-collection receiver dangles, the reference's no-edge outcome)
@@ -1182,6 +1263,19 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             continue
         arg_list = _split_args(argstr)
         args = [_classify_arg(a, locals_, t.fields, t.display) for a in arg_list]
+        # bare method-group ARGUMENT (`Accept(Run);`): an IdentifierNameSyntax
+        # outside invocation position resolving to an own-type method is a
+        # method group -> INVOKES (MemberDependencyExtractor.cs:155-161);
+        # locals/fields shadow the method name per C# lookup order. `nameof`
+        # arguments are excluded: a method group inside nameof never binds
+        # (SymbolInfo.Symbol is null, CandidateReason.MemberGroup), so the
+        # reference's IMethodSymbol pattern-match adds nothing
+        if name != "nameof":
+            for a in arg_list:
+                a = a.strip()
+                if (a in type_sigs and a not in locals_ and a not in t.fields
+                        and _RE_IDENT.match(a)):
+                    mention_once("invoke", a, t.display)
         # seen-key includes classified arg tokens: calls that resolve to
         # DIFFERENT overloads must each survive (per-callee dedup happens on
         # resolved keys, AddInvokes:218-230 / link_edges distinct)

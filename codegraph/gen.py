@@ -202,6 +202,14 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # dictionary-indexer receivers `_reg["a"].Run()`: the element
             # access types through the collection's VALUE argument
             "has_index": rng.random() < 0.25,
+            # member-access + argument-position method groups:
+            # `Action relay = _dep.Run;` / `Accept(Run);`
+            "has_mgroup2": rng.random() < 0.25,
+            # out-parameter member: the display keeps the ref-kind keyword
+            # (CSharpErrorMessageFormat 'TryGet(out int)')
+            "has_out": rng.random() < 0.25,
+            # ternary local inference + interpolated-string call site
+            "has_ternary": rng.random() < 0.25,
         })
     # chunk classes into files FIRST (all classes in a file share the
     # file-scoped namespace), then resolve dep namespaces against the
@@ -419,6 +427,14 @@ def _render_one_class(c: dict) -> list:
         lines.append(f"    public {dep} Item {{ get; set; }}")
     if c["has_event"]:
         lines.append("    public event EventHandler Changed;")
+        # event fire-site: Invoke binds System.EventHandler.Invoke and
+        # EventArgs.Empty resolves to a metadata field — both keys dangle
+        # (MergeRelationships.cypher:1-5), so the member adds NO edges; the
+        # oracle deliberately enumerates nothing for these lines
+        lines.append("    public void Fire()")
+        lines.append("    {")
+        lines.append("        Changed?.Invoke(this, EventArgs.Empty);")
+        lines.append("    }")
     if c["has_iface"]:
         # interface-typed receiver: the call binds to the INTERFACE member
         # symbol (Roslyn binds through the static receiver type)
@@ -501,6 +517,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("    }")
         lines.append("    private void Apply(int v)")
         lines.append("    {")
+        lines.append("    }")
+        # implicit conversion at ASSIGNMENT position (separate member so the
+        # per-callee dedup cannot fold it into Combine's initializer edge)
+        lines.append(f"    public void Shift({dep} q)")
+        lines.append("    {")
+        lines.append("        int n = 0;")
+        lines.append("        n = q;")
         lines.append("    }")
     if c.get("has_hook"):
         # method group outside invocation position
@@ -685,6 +708,52 @@ def _render_one_class(c: dict) -> list:
         lines.append('        _reg["a"].Run();')
         lines.append('        var v = _reg["b"];')
         lines.append("        v.Get(3);")
+        lines.append("    }")
+    if c.get("has_mgroup2") and dep:
+        # method groups OUTSIDE the simple local-assignment shape: a
+        # member-access group (`_dep.Run` with no argument list) and a bare
+        # identifier group in argument position (`Accept(Run)`) — both bind
+        # the method symbol without an invocation
+        # (MemberDependencyExtractor.cs:155-169)
+        lines.append("    public void Wire()")
+        lines.append("    {")
+        lines.append("        Action relay = _dep.Run;")
+        lines.append("        Accept(Run);")
+        lines.append("    }")
+        lines.append("    private void Accept(Action op)")
+        lines.append("    {")
+        lines.append("    }")
+        # nameof over a method group binds NO symbol (SymbolInfo.Symbol is
+        # null, CandidateReason.MemberGroup) -> the reference adds nothing;
+        # the oracle deliberately enumerates no edge for this line
+        lines.append("    public string Label()")
+        lines.append("    {")
+        lines.append("        return nameof(Accept);")
+        lines.append("    }")
+    if c.get("has_ternary") and dep:
+        # conditional expression over same-typed operands types the local
+        # (Roslyn best common type); the interpolated-string hole is a
+        # normal invocation site (Roslyn walks InterpolatedStringExpression
+        # descendants like any other body node)
+        lines.append("    public void Branch(bool f)")
+        lines.append("    {")
+        lines.append("        var other = _dep;")
+        lines.append("        var pick = f ? _dep : other;")
+        lines.append("        pick.Run();")
+        lines.append('        var s = $"v={Get(9)}";')
+        lines.append("    }")
+    if c.get("has_out"):
+        # out-parameter display keeps the ref-kind keyword
+        # (CSharpErrorMessageFormat: 'TryGet(out int)'); the out-var call
+        # argument is unclassifiable -> binds by arity rank
+        lines.append("    public bool TryGet(out int v)")
+        lines.append("    {")
+        lines.append("        v = Count;")
+        lines.append("        return true;")
+        lines.append("    }")
+        lines.append("    public void UseTry()")
+        lines.append("    {")
+        lines.append("        TryGet(out var r);")
         lines.append("    }")
     if c.get("has_ambig"):
         # same-arity overloads: Pick(Count + 1) passes an EXPRESSION the

@@ -211,16 +211,16 @@ members AS (
   -- methods, ctors, interface members: name(paramTok, ...); return types
   -- may carry a nullable annotation (string? Find(int?))
   SELECT repo, path, ns, ln, type_display, 'Method',
-         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\?? )?(\w+)\(([^)]*)\)[;]?$', 1)
+         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool)\?? )?(\w+)\(([^)]*)\)[;]?$', 1)
            || '(' ||
            coalesce(array_to_string(
              list_transform(
-               list_filter(string_split(regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\?? )?(\w+)\(([^)]*)\)[;]?$', 2), ','),
+               list_filter(string_split(regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool)\?? )?(\w+)\(([^)]*)\)[;]?$', 2), ','),
                            p -> trim(p) != ''),
-               p -> string_split(trim(p), ' ')[1]), ', '), '')
+               p -> regexp_replace(trim(p), ' \w+$', '')), ', '), '')
            || ')', NULL
   FROM tdisp
-  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\?? )?\w+\([^)]*\)[;]?$')
+  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool)\?? )?\w+\([^)]*\)[;]?$')
 ),
 member_keys AS (
   SELECT repo, path, ns, ln, type_display, mkind,
@@ -278,7 +278,7 @@ lines AS (
     AND regexp_matches(content, 'public (static )?(partial )?(class|interface|enum) ')
 )
 SELECT repo, path,
-  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double)\\?? )?\\w+\\([^)]*\\)[;]?$')))
+  len(list_filter(ls, l -> regexp_matches(l, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool)\\?? )?\\w+\\([^)]*\\)[;]?$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public int \\w+\\(\\) => [^;]+;$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Self\\(\\)$')))
@@ -847,6 +847,45 @@ calls AS (
   SELECT b.repo, b.path, b.cur_method, b.type_display, r.rtype, 'Get(int)'
   FROM body b JOIN rfields r ON b.repo = r.repo AND b.path = r.path
   WHERE regexp_matches(b.line, '^        v\\.Get\\(3\\);$')
+  UNION ALL
+  -- member-access method group (no argument list): `Action relay = _dep.Run;`
+  -- binds the dep's method symbol (MemberAccessExpressionSyntax outside
+  -- invocation position, MemberDependencyExtractor.cs:163-169)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        Action relay = _dep\\.Run;$')
+  UNION ALL
+  -- bare method-group ARGUMENT: `Accept(Run);` — the invocation binds
+  -- Accept(Action) and the identifier group binds Run()
+  -- (IdentifierNameSyntax outside invocation position, :155-161)
+  SELECT repo, path, cur_method, type_display, NULL, 'Accept(Action)'
+  FROM body WHERE regexp_matches(line, '^        Accept\\(Run\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Accept\\(Run\\);$')
+  UNION ALL
+  -- ternary local: both operands are the dep type -> `pick` types as dep
+  -- (best common type); the call binds through it
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        pick\\.Run\\(\\);$')
+  UNION ALL
+  -- interpolated-string hole is a plain invocation site
+  SELECT repo, path, cur_method, type_display, NULL, 'Get(int)'
+  FROM body WHERE regexp_matches(line, '^        var s = \\$"v=\\{{Get\\(9\\)\\}}";$')
+  UNION ALL
+  -- out-var call site: the argument is unclassifiable, the single
+  -- same-name member binds by arity; the display keeps the ref-kind
+  -- keyword (CSharpErrorMessageFormat 'TryGet(out int)')
+  SELECT repo, path, cur_method, type_display, NULL, 'TryGet(out int)'
+  FROM body WHERE regexp_matches(line, '^        TryGet\\(out var r\\);$')
+  UNION ALL
+  -- implicit conversion at ASSIGNMENT position (`n = q;` in Shift's body):
+  -- AssignmentExpressionSyntax right-hand conversion candidate (:205-216)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, c.dt,
+         'implicit operator int(' || c.dt || ')'
+  FROM body b JOIN cmb c ON b.repo = c.repo AND b.path = c.path AND b.type_display = c.type_display
+  WHERE regexp_matches(b.line, '^        n = q;$')
 ),
 resolved AS (
   SELECT c.repo, c.path, c.cur_method, c.type_display, c.callee_sig,
@@ -874,6 +913,19 @@ ORACLES["kg_operator_invokes"] = ORACLES["kg_invokes_edges"].replace(
     "SELECT DISTINCT repo, src_key, dst_key FROM edges "
     "WHERE dst_key LIKE '%operator %'")
 
+# dedicated CORRECTNESS row for the round-5 parity shapes: member-access /
+# argument-position method groups (Wire), out-var call sites (UseTry),
+# ternary + interpolated-string sites (Branch), assignment-position
+# conversions (Shift). The nameof member (Label) and event fire-site (Fire)
+# bind nothing, so no row here may carry them — a spurious edge from either
+# breaks the hash.
+ORACLES["kg_method_groups"] = ORACLES["kg_invokes_edges"].replace(
+    "SELECT DISTINCT repo, src_key, dst_key FROM edges",
+    "SELECT DISTINCT repo, src_key, dst_key FROM edges "
+    "WHERE src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' "
+    "OR src_key LIKE '%.Branch(bool)' OR src_key LIKE '%.Shift(%' "
+    "OR src_key LIKE '%.Label()' OR src_key LIKE '%.Fire()'")
+
 ORACLES["kg_depends_edges"] = f"""WITH {DISC}, {CS}, {CS_CTX}, {_RAZOR_BASE},
 tokens AS (
   -- field type
@@ -888,16 +940,16 @@ tokens AS (
   UNION ALL
   -- method/ctor parameter types
   SELECT repo, path, type_display,
-         string_split(trim(p.p), ' ')[1]
+         regexp_extract(trim(p.p), '(\S+) \S+$', 1)
   FROM tdisp,
        unnest(list_filter(string_split(
-         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\(([^)]*)\\)[;]?$', 1), ','),
+         regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool) )?\\w+\\(([^)]*)\\)[;]?$', 1), ','),
          x -> trim(x) != '')) AS p(p)
-  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double) )?\\w+\\([^)]*\\)[;]?$')
+  WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool) )?\\w+\\([^)]*\\)[;]?$')
   UNION ALL
   -- operator/conversion parameter types (BaseMethodDeclarationSyntax deps)
   SELECT repo, path, type_display,
-         string_split(trim(p.p), ' ')[1]
+         regexp_extract(trim(p.p), '(\S+) \S+$', 1)
   FROM tdisp,
        unnest(list_filter(string_split(
          regexp_extract(line, '\\(([^)]*)\\)', 1), ','),
