@@ -83,7 +83,8 @@ OP_NAMES = {
 }
 _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 
-_RE_USING = re.compile(r"^\s*(?P<glob>global\s+)?using\s+(?:static\s+)?([\w.]+)\s*;")
+_RE_USING = re.compile(
+    r"^\s*(?P<glob>global\s+)?using\s+(?P<stat>static\s+)?([\w.]+)\s*;")
 _RE_NAMESPACE = re.compile(r"^\s*namespace\s+([\w.]+)\s*[;{]?\s*$")
 _RE_TYPE = re.compile(
     r"^\s*(?P<acc>public|internal|private|protected)?\s*"
@@ -396,14 +397,24 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
     file_ns: str | None = None
     usings: list[str] = []
     global_usings: list[str] = []
+    static_usings: list[str] = []
 
     # --- pass 1: usings + namespace --------------------------------------
     for ln in lines:
         m = _RE_USING.match(ln)
         if m:
-            usings.append(m.group(2))
-            if m.group("glob"):
-                global_usings.append(m.group(2))
+            if m.group("stat"):
+                # `using static T;` imports T's STATIC MEMBERS, not a
+                # namespace: bare simple-name calls fall back to T when no
+                # own member applies (Roslyn simple-name lookup); the
+                # directive's own symbol is a type, not a namespace, so it
+                # joins neither the candidate-namespace list nor the
+                # using-directive DEPENDS_ON mentions
+                static_usings.append(m.group(3))
+            else:
+                usings.append(m.group(3))
+                if m.group("glob"):
+                    global_usings.append(m.group(3))
             continue
         m = _RE_NAMESPACE.match(ln)
         if m:
@@ -785,7 +796,8 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 if mrec.get("ret"):
                     _emit_type_dep(em, repo, t.key, mrec["ret"], cand_ns)
                 # body INVOKES surface (:77-230)
-                _analyze_body(em, repo, key, t, mrec, cand_ns, type_sigs)
+                _analyze_body(em, repo, key, t, mrec, cand_ns, type_sigs,
+                              static_usings)
                 continue
 
             # Property / Field / Event: type dep from containing type
@@ -840,7 +852,8 @@ def _classify_arg(a: str, locals_: dict, fields: dict, own_display: str) -> str:
 
 
 def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
-                  mrec: dict, cand_ns: list[str], type_sigs: dict) -> None:
+                  mrec: dict, cand_ns: list[str], type_sigs: dict,
+                  static_usings: list[str] | None = None) -> None:
     """INVOKES edges from method bodies with per-callee dedup
     (MemberDependencyExtractor.cs:90,218-230). Covers the full
     ExtractMethodExecutes surface over the subset's statement shapes:
@@ -1292,6 +1305,18 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             # own-type call: resolve against own type display directly
             em.mention("invoke", caller_key, R_INVOKES, name, t.display, [],
                        nargs, m_args=args)
+            if recv is None and static_usings and name not in type_sigs:
+                # using-static fallback: a bare simple name with NO own
+                # member of that name looks through the file's using-static
+                # imports (Roslyn simple-name lookup order: members of the
+                # enclosing type win; two imports declaring the same
+                # applicable member are a CS0229-style ambiguity the subset
+                # resolves by import order). m_head carries the imported
+                # type displays; the link side joins them straight into the
+                # member lookup
+                em.mention("invoke_ustatic", caller_key, R_INVOKES, name,
+                           None, [], nargs, m_args=args,
+                           m_head=US.join(static_usings))
             # implicit conversions at ARGUMENT position against the own-type
             # overload whose arity matches (ArgumentSyntax candidates, :184-193)
             for sig in type_sigs.get(name, []):

@@ -210,6 +210,8 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             "has_out": rng.random() < 0.25,
             # ternary local inference + interpolated-string call site
             "has_ternary": rng.random() < 0.25,
+            # `using static {global_ns}.Util;` import + bare Snap(4) call
+            "has_usingstatic": rng.random() < 0.25,
         })
     # chunk classes into files FIRST (all classes in a file share the
     # file-scoped namespace), then resolve dep namespaces against the
@@ -265,6 +267,12 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
         "kind": "csharp_ext", "lang": "csharp",
         "path": f"src/{app_ns}/{cls0['ns'].split('.')[-1]}/Fluent.cs",
         "ns": cls0["ns"], "target": cls0["name"],
+    })
+    # per-repo static utility class: the target of `using static` imports
+    files.append({
+        "kind": "csharp_util", "lang": "csharp",
+        "path": f"src/{app_ns}/{global_ns.split('.')[-1]}/Util.cs",
+        "ns": global_ns,
     })
     files.append({
         "kind": "csharp_globalusings", "lang": "csharp",
@@ -394,6 +402,9 @@ def _render_csharp(spec: dict) -> str:
     lines = []
     for u in usings:
         lines.append(f"using {u};")
+    if any(c.get("has_usingstatic") for c in clses):
+        # the directive names the fully qualified TYPE (C# requirement)
+        lines.append(f"using static {clses[0]['global_ns']}.Util;")
     lines.append("")
     lines.append(f"namespace {ns};")
     lines.append("")
@@ -742,6 +753,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("        pick.Run();")
         lines.append('        var s = $"v={Get(9)}";')
         lines.append("    }")
+    if c.get("has_usingstatic"):
+        # bare simple-name call with NO own member of that name: binds the
+        # static Util.Snap(int) through the file's using-static import
+        lines.append("    public void Trim()")
+        lines.append("    {")
+        lines.append("        Snap(4);")
+        lines.append("    }")
     if c.get("has_out"):
         # out-parameter display keeps the ref-kind keyword
         # (CSharpErrorMessageFormat: 'TryGet(out int)'); the out-var call
@@ -1070,6 +1088,22 @@ public static class Fluent
 """
 
 
+def _render_csharp_util(spec: dict) -> str:
+    """Static utility class: the target of `using static` imports — bare
+    Snap(..) calls in importing files bind to this static member through
+    Roslyn's simple-name lookup over using-static directives."""
+    return f"""namespace {spec["ns"]};
+
+public static class Util
+{{
+    public static int Snap(int v)
+    {{
+        return v;
+    }}
+}}
+"""
+
+
 def _render_csharp_globalusings(spec: dict) -> str:
     return f"global using {spec['ns']};\n"
 
@@ -1112,6 +1146,7 @@ _RENDERERS = {
     "csharp_box": _render_csharp_box,
     "csharp_ext": _render_csharp_ext,
     "csharp_globalusings": _render_csharp_globalusings,
+    "csharp_util": _render_csharp_util,
     "csharp_partial1": _render_csharp_partial1,
     "csharp_partial2": _render_csharp_partial2,
     "csproj": _render_csproj,

@@ -495,10 +495,22 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                           F.lit(0).alias("lrank"),
                           F.col("m_name").alias("lookup")))
 
+    # using-static imports: a bare call with no own member looks through the
+    # file's `using static T;` types — the directive names the FULLY
+    # QUALIFIED type, so the import display joins the member dictionary
+    # directly (no namespace resolution); lrank = import order breaks the
+    # (out-of-subset) two-import tie deterministically
+    us_cand = (dim.filter(kind == "invoke_ustatic")
+               .select("repo", "mid", "m_nargs",
+                       norm_args.alias("norm_args"),
+                       F.posexplode(F.split(F.col("m_head"), US))
+                       .alias("lrank", "t_display"),
+                       F.col("m_name").alias("lookup")))
+
     cand = member_mentions.select(
         "repo", "mid", "m_nargs", norm_args.alias("norm_args"), "t_display",
         F.posexplode(lookups).alias("lrank", "lookup")) \
-        .unionByName(chain_cand)
+        .unionByName(chain_cand).unionByName(us_cand)
     joined = cand.join(
         members.hint("shuffle_hash"),
         on=[F.col("repo") == F.col("mm_repo"),

@@ -208,6 +208,10 @@ members AS (
          NULL
   FROM tdisp WHERE regexp_matches(line, '^    public static int Boost\(this \w+ w, int amount\)$')
   UNION ALL
+  -- static utility member: the using-static import target
+  SELECT repo, path, ns, ln, type_display, 'Method', 'Snap(int)', NULL
+  FROM tdisp WHERE regexp_matches(line, '^    public static int Snap\(int v\)$')
+  UNION ALL
   -- methods, ctors, interface members: name(paramTok, ...); return types
   -- may carry a nullable annotation (string? Find(int?))
   SELECT repo, path, ns, ln, type_display, 'Method',
@@ -285,6 +289,7 @@ SELECT repo, path,
     + len(list_filter(ls, l -> regexp_matches(l, '^    public \\w+ Hop\\(\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static \\w+ Grow\\(\\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static int Boost\\(this \\w+ w, int amount\\)$')))
+    + len(list_filter(ls, l -> regexp_matches(l, '^    public static int Snap\(int v\)$')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public [\\w.<>]+ \\w+<[\\w, ]+>\\([^)]*\\) where ')))
     + len(list_filter(ls, l -> regexp_matches(l, '^    public static [\\w<>]+ operator ')
                             AND NOT regexp_matches(l, '^    public static (implicit|explicit) operator ')))
@@ -874,6 +879,11 @@ calls AS (
   SELECT repo, path, cur_method, type_display, NULL, 'Get(int)'
   FROM body WHERE regexp_matches(line, '^        var s = \\$"v=\\{{Get\\(9\\)\\}}";$')
   UNION ALL
+  -- using-static import: bare Snap(4) has NO own member -> binds the
+  -- static Util member through the file's `using static` directive
+  SELECT repo, path, cur_method, type_display, 'Util', 'Snap(int)'
+  FROM body WHERE regexp_matches(line, '^        Snap\\(4\\);$')
+  UNION ALL
   -- out-var call site: the argument is unclassifiable, the single
   -- same-name member binds by arity; the display keeps the ref-kind
   -- keyword (CSharpErrorMessageFormat 'TryGet(out int)')
@@ -922,7 +932,7 @@ ORACLES["kg_operator_invokes"] = ORACLES["kg_invokes_edges"].replace(
 ORACLES["kg_method_groups"] = ORACLES["kg_invokes_edges"].replace(
     "SELECT DISTINCT repo, src_key, dst_key FROM edges",
     "SELECT DISTINCT repo, src_key, dst_key FROM edges "
-    "WHERE src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' "
+    "WHERE src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' OR src_key LIKE '%.Trim()' "
     "OR src_key LIKE '%.Branch(bool)' OR src_key LIKE '%.Shift(%' "
     "OR src_key LIKE '%.Label()' OR src_key LIKE '%.Fire()'")
 

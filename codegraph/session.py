@@ -69,6 +69,16 @@ def get_spark(
         # misestimated self-join build side is plausible) keeps them on SHJ.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    if master and master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own python workers, which do
+        # NOT inherit the driver's sys.path — ship the repo root the way
+        # spark-submit --py-files would (the bench topology legs hit
+        # ModuleNotFoundError: codegraph without this)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prior = os.environ.get("PYTHONPATH")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{prior}" if prior else repo_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -213,6 +213,77 @@ public class Caller
             "r1:Lib.Worker.Pulse()") in edges
 
 
+def test_using_static_bare_call_binds(spark):
+    # `using static Lib.Util;` + bare Snap(4): no own member named Snap ->
+    # simple-name lookup falls through to the imported static type
+    util = """namespace Lib;
+
+public static class Util
+{
+    public static int Snap(int v)
+    {
+        return v;
+    }
+}
+"""
+    caller = """using static Lib.Util;
+
+namespace App;
+
+public class Caller
+{
+    public void Trim()
+    {
+        Snap(4);
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Util.cs", util),
+        ("src/App/Caller.cs", caller),
+    ])
+    assert ("r1:App.Caller.Trim()", "src__INVOKES",
+            "r1:Lib.Util.Snap(int)") in edges
+
+
+def test_using_static_own_member_wins(spark):
+    # an own member of the same name hides the import (lookup order)
+    util = """namespace Lib;
+
+public static class Util
+{
+    public static int Snap(int v)
+    {
+        return v;
+    }
+}
+"""
+    caller = """using static Lib.Util;
+
+namespace App;
+
+public class Caller
+{
+    public int Snap(int v)
+    {
+        return v;
+    }
+    public void Trim()
+    {
+        Snap(4);
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Util.cs", util),
+        ("src/App/Caller.cs", caller),
+    ])
+    assert ("r1:App.Caller.Trim()", "src__INVOKES",
+            "r1:App.Caller.Snap(int)") in edges
+    assert ("r1:App.Caller.Trim()", "src__INVOKES",
+            "r1:Lib.Util.Snap(int)") not in edges
+
+
 def test_same_type_assignment_is_identity_no_edge(spark):
     # `a = b;` between same-typed locals is an identity conversion ->
     # no user-defined operator is invoked
