@@ -204,27 +204,32 @@ def main():
                 "overwrite").parquet(os.path.join(scale_dir, "pkg_metadata.parquet"))
             gen.write_fixture_marker(marker)
         spark.stop()
-        legs = [8, 2, 8, 2]
+        legs = [8, 2]
+        repeat_legs = [8, 2]  # symmetric best-of-2 (ADVICE r2), run LAST:
+        # a complete topology block outranks noise-tightening when the
+        # budget is short (the r4 verdict's done-criterion is the block
+        # landing in the driver artifact)
         if full and cpus > 8:
-            legs.append(cpus)
+            repeat_legs.append(cpus)
         thr = {}
         ctl = {}
         wall = {}  # last measured wall per core count, for the budget guard
         legs_run = 0
-        for n in legs:
-            # estimate this leg's wall from measured walls: same-core leg
-            # repeats at its measured wall; an unmeasured 2-core leg is
-            # priced at 2x the 8-core wall (measured ratio ~1.7 on this
-            # host); a first 8-core leg gets a nominal floor so the guard
-            # cannot skip the whole block.
+
+        def run_thread_leg(n) -> bool:
+            """One thread-mode leg under the budget guard; False = skipped.
+            Estimates from measured walls: a repeat leg at its measured
+            wall; an unmeasured 2-core leg at 2x the 8-core wall (measured
+            ratio ~1.7 on this host); the first 8-core leg gets a nominal
+            floor so the guard cannot skip the whole block."""
+            nonlocal legs_run
             est = wall.get(n) or (2.0 * wall.get(8, 90.0) if n == 2
                                   else wall.get(8, 60.0))
             elapsed = time.time() - t_start
             if elapsed + est > budget:
                 log(f"bench: budget guard: {elapsed:.0f}s elapsed + ~{est:.0f}s "
-                    f"leg > {budget:.0f}s budget — skipping remaining legs "
-                    f"({len(legs) - legs_run} of {len(legs)} unrun)")
-                break
+                    f"leg > {budget:.0f}s budget — skipping thread leg [{n}]")
+                return False
             s = get_spark(app_name=f"codegraph-scale-{n}", cores=n)
             try:
                 t, (nn, ne) = timed(lambda: run_kg_pipeline(s, scale_dir))
@@ -238,25 +243,12 @@ def main():
             finally:
                 s.stop()
             legs_run += 1
-        if 8 in thr and 2 in thr:
-            efficiency = round((thr[8] / thr[2]) / 4.0, 3)
-            scaling = {"cores_lo": 2, "cores_hi": 8,
-                       "thr_lo": round(thr[2], 1), "thr_hi": round(thr[8], 1),
-                       "efficiency": efficiency,
-                       "corpus": f"{n_repos}x640x{cpf}",
-                       "legs_run": legs_run, "legs_planned": len(legs)}
-            if 8 in ctl and 2 in ctl:
-                # same-session compute-bound control (sha2 fold): isolates
-                # the harness/topology from the host's memory ceiling
-                scaling["control_efficiency"] = round((ctl[8] / ctl[2]) / 4.0, 3)
-            log(f"bench: scaling efficiency (2->8) {efficiency}, "
-                f"control {scaling.get('control_efficiency')}")
-        elif thr:
-            scaling = {"partial": True, "corpus": f"{n_repos}x640x{cpf}",
-                       "legs_run": legs_run, "legs_planned": len(legs),
-                       "thr": {str(k): round(v, 1) for k, v in thr.items()}}
-            log("bench: scaling partial — not enough legs for an efficiency "
-                f"ratio ({legs_run}/{len(legs)})")
+            return True
+
+        for n in legs:
+            if not run_thread_leg(n):
+                break
+        topo_block = None
         if not os.environ.get("SPARK_GRAFT_SKIP_TOPO"):
             # Separate-executor-JVM topology control (default-on so the
             # driver artifact carries it; SPARK_GRAFT_SKIP_TOPO=1 disables,
@@ -304,19 +296,45 @@ def main():
                 topo_legs += 1
             if 8 in topo_thr and 2 in topo_thr:
                 topo_eff = round((topo_thr[8] / topo_thr[2]) / 4.0, 3)
-                block = {"cores_lo": 2, "cores_hi": 8,
-                         "thr_lo": round(topo_thr[2], 1),
-                         "thr_hi": round(topo_thr[8], 1),
-                         "efficiency": topo_eff,
-                         "topology": "local-cluster[N,1,6144] 5g APC=1",
-                         "legs_run": topo_legs}
-                if scaling is not None:
-                    scaling["topology_control"] = block
+                topo_block = {"cores_lo": 2, "cores_hi": 8,
+                              "thr_lo": round(topo_thr[2], 1),
+                              "thr_hi": round(topo_thr[8], 1),
+                              "efficiency": topo_eff,
+                              "topology": "local-cluster[N,1,6144] 5g APC=1",
+                              "legs_run": topo_legs}
                 log(f"bench: topology efficiency (2->8) {topo_eff}")
-            elif topo_thr and scaling is not None:
-                scaling["topology_control"] = {
+            elif topo_thr:
+                topo_block = {
                     "partial": True, "legs_run": topo_legs,
                     "thr": {str(k): round(v, 1) for k, v in topo_thr.items()}}
+        for n in repeat_legs:
+            if not run_thread_leg(n):
+                break
+        if 8 in thr and 2 in thr:
+            efficiency = round((thr[8] / thr[2]) / 4.0, 3)
+            scaling = {"cores_lo": 2, "cores_hi": 8,
+                       "thr_lo": round(thr[2], 1), "thr_hi": round(thr[8], 1),
+                       "efficiency": efficiency,
+                       "corpus": f"{n_repos}x640x{cpf}",
+                       "legs_run": legs_run,
+                       "legs_planned": len(legs) + len(repeat_legs)}
+            if 8 in ctl and 2 in ctl:
+                # same-session compute-bound control (sha2 fold): isolates
+                # the harness/topology from the host's memory ceiling
+                scaling["control_efficiency"] = round((ctl[8] / ctl[2]) / 4.0, 3)
+            log(f"bench: scaling efficiency (2->8) {efficiency}, "
+                f"control {scaling.get('control_efficiency')}")
+            if topo_block is not None:
+                scaling["topology_control"] = topo_block
+        elif thr:
+            scaling = {"partial": True, "corpus": f"{n_repos}x640x{cpf}",
+                       "legs_run": legs_run,
+                       "legs_planned": len(legs) + len(repeat_legs),
+                       "thr": {str(k): round(v, 1) for k, v in thr.items()}}
+            log("bench: scaling partial — not enough legs for an efficiency "
+                f"ratio ({legs_run}/{len(legs)})")
+            if topo_block is not None:
+                scaling["topology_control"] = topo_block
         if cpus in thr and cpus != 8 and 8 in thr:
             eff_hi = round((thr[cpus] / thr[8]) / (cpus / 8.0), 3)
             scaling_hi = {"cores_lo": 8, "cores_hi": cpus,
