@@ -356,7 +356,7 @@ def _q_kg_method_groups(spark, sf_dir):
     res = _pipeline_result(spark, sf_dir)
     return (res["linked"]
             .filter("rel_type = 'src__INVOKES' AND ("
-                    "src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' OR src_key LIKE '%.Trim()' "
+                    "src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' OR src_key LIKE '%.Trim()' OR src_key LIKE '%.UseLog()' "
                     "OR src_key LIKE '%.Branch(bool)' "
                     "OR src_key LIKE '%.Shift(%' "
                     "OR src_key LIKE '%.Label()' OR src_key LIKE '%.Fire()')")

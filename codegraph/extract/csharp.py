@@ -291,6 +291,11 @@ _RE_AS = re.compile(r"^(?P<e>\w+)\s+as\s+(?P<t>[\w.<>\[\]?]+)$")
 # declaration pattern `expr is T name`: the pattern variable is T-typed
 # (Roslyn flow analysis narrows it; the subset flattens scope to the member)
 _RE_IS_PATTERN = re.compile(r"\bis\s+(?P<t>[A-Z][\w.<>]*)\s+(?P<name>\w+)")
+# switch-case declaration pattern `case Dep d:` — the pattern variable
+# narrows to the declared type exactly like an is-pattern (Roslyn:
+# DeclarationPatternSyntax binds a local of the pattern type)
+_RE_CASE_PATTERN = re.compile(
+    r"\bcase\s+(?P<t>[A-Z][\w.<>]*)\s+(?P<name>\w+)\s*:")
 # object-creation with an initializer and no argument list `new X { .. }`:
 # Roslyn binds the parameterless constructor
 _RE_NEW_INIT = re.compile(r"\bnew\s+([\w.]+)\s*\{")
@@ -340,17 +345,28 @@ def _parse_params(pstr: str) -> list[tuple[str, str]]:
     token — CSharpErrorMessageFormat renders `TryGet(out int)` — while
     `_strip_ref` recovers the bare type for dep emission and local typing.
     The `this` receiver modifier of extension methods is dropped from the
-    display (the reference's keys show 'Boost(Widget5, int)')."""
+    display (the reference's keys show 'Boost(Widget5, int)'); default
+    values (`int w = 5`) never reach the display either — optionality is
+    carried separately (`_count_defaults`) for the link-time optsig
+    dictionary."""
     params = []
     pstr = pstr.strip()
     if pstr:
         for p in pstr.split(","):
-            toks = p.strip().split()
+            toks = p.split("=", 1)[0].strip().split()
             if len(toks) >= 3 and toks[-3] in _REF_KINDS:
                 params.append((f"{toks[-3]} {toks[-2]}", toks[-1]))
             elif len(toks) >= 2:
                 params.append((toks[-2], toks[-1]))  # (type, name)
     return params
+
+
+def _count_defaults(pstr: str) -> int:
+    """Number of parameters declaring a default value (`= expr`)."""
+    pstr = pstr.strip()
+    if not pstr:
+        return 0
+    return sum(1 for p in pstr.split(",") if "=" in p)
 
 
 def _strip_ref(tok: str) -> str:
@@ -611,6 +627,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                     "mkind": "Method", "name": name, "is_ctor": is_ctor,
                     "targs": mm.group("targs"),  # generic method <T, ...>
                     "params": _parse_params(mm.group("params")),
+                    "n_opt": _count_defaults(mm.group("params")),
                     # `this` first param marks an extension method; the
                     # display drops the modifier (_parse_params keeps only
                     # the type token) exactly like CSharpErrorMessageFormat
@@ -777,6 +794,15 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                         em.mention("retsig", key, "", mrec["name"], t.display,
                                    [], len(ptoks), m_args=ptoks,
                                    m_head=mrec["ret"].rstrip("?"))
+                    if mrec.get("n_opt"):
+                        # optional-parameter record: the member accepts call
+                        # sites from (nparams - n_opt) to nparams arguments
+                        # (Roslyn fills defaults; the display shows types
+                        # only). Column reuse: m_recv=declaring type display,
+                        # m_args=param tokens, m_nargs=REQUIRED minimum.
+                        em.mention("optsig", key, "", mrec["name"], t.display,
+                                   [], len(ptoks) - mrec["n_opt"],
+                                   m_args=ptoks)
                     if mrec.get("is_ext") and ptoks:
                         # extension-method record: receiver-typed call sites
                         # (w.Boost(5)) bind to the static method when the
@@ -905,6 +931,9 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             locals_.setdefault(qm.group("name"), et)
     # declaration-pattern variables: `if (o is Dep n)` narrows n to Dep
     for pm in _RE_IS_PATTERN.finditer(body):
+        locals_.setdefault(pm.group("name"), pm.group("t"))
+    # switch-case declaration patterns narrow their variable the same way
+    for pm in _RE_CASE_PATTERN.finditer(body):
         locals_.setdefault(pm.group("name"), pm.group("t"))
     ret_tok = (mrec.get("ret") or "").rstrip("?") or None
 

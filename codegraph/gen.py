@@ -212,6 +212,9 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             "has_ternary": rng.random() < 0.25,
             # `using static {global_ns}.Util;` import + bare Snap(4) call
             "has_usingstatic": rng.random() < 0.25,
+            # optional parameter: Log(1) fills w from its default; both call
+            # arities bind the SAME symbol Log(int, int)
+            "has_default": rng.random() < 0.25,
         })
     # chunk classes into files FIRST (all classes in a file share the
     # file-scoped namespace), then resolve dep namespaces against the
@@ -752,6 +755,19 @@ def _render_one_class(c: dict) -> list:
         lines.append("        var pick = f ? _dep : other;")
         lines.append("        pick.Run();")
         lines.append('        var s = $"v={Get(9)}";')
+        lines.append("    }")
+    if c.get("has_default"):
+        # default-parameter member: the display shows types only
+        # (CSharpErrorMessageFormat), and a call site may omit trailing
+        # optional arguments (Roslyn fills them) — both calls below bind
+        # Log(int, int), collapsing to one edge after per-callee dedup
+        lines.append("    public void Log(int v, int w = 5)")
+        lines.append("    {")
+        lines.append("    }")
+        lines.append("    public void UseLog()")
+        lines.append("    {")
+        lines.append("        Log(1);")
+        lines.append("        Log(2, 3);")
         lines.append("    }")
     if c.get("has_usingstatic"):
         # bare simple-name call with NO own member of that name: binds the

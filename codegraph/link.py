@@ -272,7 +272,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # recovery joins stay compact. Side-channel records (retsig/extsig/
     # global_using) never resolve, so they stay out of the dim too.
     dim = (mentions.filter(~F.col("m_kind").isin("retsig", "extsig", "propsig",
-                                                 "basesig", "global_using"))
+                                                 "basesig", "global_using",
+                                                 "optsig"))
            .select("repo", "mid", "m_kind", "m_from_key", "m_rel",
                    "m_name", "m_recv", "m_nargs", "m_args", "m_head")
            .dropDuplicates(["repo", "mid"]))
@@ -282,6 +283,28 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                  .select(F.col("repo").alias("g_repo"),
                          F.col("m_name").alias("cand_ns"))
                  .distinct())
+
+    # optional-parameter signatures (optsig records): a method with default
+    # values accepts call sites from min_nparams to nparams arguments
+    # (Roslyn fills the defaults; CSharpErrorMessageFormat displays types
+    # only, so the symbol table alone cannot see optionality). Left join
+    # keeps min_nparams null everywhere else; dictionary-scale.
+    opts = (mentions.filter(F.col("m_kind") == "optsig")
+            .select(F.col("repo").alias("o_repo"),
+                    F.col("m_recv").alias("o_tdisplay"),
+                    F.col("m_name").alias("o_name"),
+                    F.when(F.col("m_args").isNull(), F.lit(""))
+                    .otherwise(F.array_join(F.split("m_args", US), ", "))
+                    .alias("o_params"),
+                    F.col("m_nargs").alias("min_nparams"))
+            .distinct())
+    members = (members.join(
+        opts,
+        on=[members.mm_repo == opts.o_repo,
+            members.type_display == opts.o_tdisplay,
+            members.lookup_name == opts.o_name,
+            members.params == opts.o_params],
+        how="left").drop("o_repo", "o_tdisplay", "o_name", "o_params"))
 
     kind = F.col("m_kind")
     kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
@@ -329,7 +352,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                 .filter(F.col("lookup_name") != "<ctor>")  # ctors don't inherit
                 .select("mm_repo",
                         F.col("derived_display").alias("type_display"),
-                        "lookup_name", "nparams", "params", "member_key")
+                        "lookup_name", "nparams", "params", "member_key",
+                        "min_nparams")
                 .withColumn("depth", F.lit(depth)))
 
     own_members = members.withColumn("depth", F.lit(0))
@@ -522,6 +546,11 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                & (F.col("params") == F.col("norm_args")), F.lit(0))
         .when(F.col("m_nargs").isNull(), F.lit(1))
         .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
+        # default-parameter fill: fewer args than declared params, but at
+        # least the required minimum — loses to any exact-arity candidate
+        # (Roslyn prefers candidates needing no optional fill)
+        .when((F.col("m_nargs") >= F.col("min_nparams"))
+              & (F.col("m_nargs") < F.col("nparams")), F.lit(2))
         .otherwise(F.lit(99)))
     # rank folds (overload-rank, inheritance depth, lookup order): an own
     # member at arity rank still beats a base member at param-exact rank?

@@ -221,7 +221,7 @@ members AS (
              list_transform(
                list_filter(string_split(regexp_extract(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool)\?? )?(\w+)\(([^)]*)\)[;]?$', 2), ','),
                            p -> trim(p) != ''),
-               p -> regexp_replace(trim(p), ' \w+$', '')), ', '), '')
+               p -> regexp_replace(regexp_replace(trim(p), ' *=.*$', ''), ' \w+$', '')), ', '), '')
            || ')', NULL
   FROM tdisp
   WHERE regexp_matches(line, '^    (?:(?:public|internal|private) )?(?:(?:void|int|string|double|bool)\?? )?\w+\([^)]*\)[;]?$')
@@ -884,6 +884,11 @@ calls AS (
   SELECT repo, path, cur_method, type_display, 'Util', 'Snap(int)'
   FROM body WHERE regexp_matches(line, '^        Snap\\(4\\);$')
   UNION ALL
+  -- default-parameter call sites: Log(1) fills w from its default, Log(2,3)
+  -- passes it — both bind the SAME symbol (one edge after dedup)
+  SELECT repo, path, cur_method, type_display, NULL, 'Log(int, int)'
+  FROM body WHERE regexp_matches(line, '^        Log\\((1|2, 3)\\);$')
+  UNION ALL
   -- out-var call site: the argument is unclassifiable, the single
   -- same-name member binds by arity; the display keeps the ref-kind
   -- keyword (CSharpErrorMessageFormat 'TryGet(out int)')
@@ -932,7 +937,7 @@ ORACLES["kg_operator_invokes"] = ORACLES["kg_invokes_edges"].replace(
 ORACLES["kg_method_groups"] = ORACLES["kg_invokes_edges"].replace(
     "SELECT DISTINCT repo, src_key, dst_key FROM edges",
     "SELECT DISTINCT repo, src_key, dst_key FROM edges "
-    "WHERE src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' OR src_key LIKE '%.Trim()' "
+    "WHERE src_key LIKE '%.Wire()' OR src_key LIKE '%.UseTry()' OR src_key LIKE '%.Trim()' OR src_key LIKE '%.UseLog()' "
     "OR src_key LIKE '%.Branch(bool)' OR src_key LIKE '%.Shift(%' "
     "OR src_key LIKE '%.Label()' OR src_key LIKE '%.Fire()'")
 

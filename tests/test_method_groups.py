@@ -284,6 +284,80 @@ public class Caller
             "r1:Lib.Util.Snap(int)") not in edges
 
 
+def test_default_parameter_call_sites(spark):
+    # Log(1) fills w from its default; both call arities bind the SAME
+    # symbol Log(int, int) (Roslyn optional-argument fill); an exact-arity
+    # overload still wins over a default-fill candidate
+    caller = """namespace App;
+
+public class Caller
+{
+    public void Log(int v, int w = 5)
+    {
+    }
+    public void UseLog()
+    {
+        Log(1);
+        Log(2, 3);
+    }
+}
+"""
+    edges = _edges(spark, [("src/App/Caller.cs", caller)])
+    assert ("r1:App.Caller.UseLog()", "src__INVOKES",
+            "r1:App.Caller.Log(int, int)") in edges
+
+
+def test_default_fill_loses_to_exact_arity(spark):
+    caller = """namespace App;
+
+public class Caller
+{
+    public void Log(int v, int w = 5)
+    {
+    }
+    public void Log(int v)
+    {
+    }
+    public void UseLog()
+    {
+        Log(1);
+    }
+}
+"""
+    edges = _edges(spark, [("src/App/Caller.cs", caller)])
+    assert ("r1:App.Caller.UseLog()", "src__INVOKES",
+            "r1:App.Caller.Log(int)") in edges
+    assert ("r1:App.Caller.UseLog()", "src__INVOKES",
+            "r1:App.Caller.Log(int, int)") not in edges
+
+
+def test_case_pattern_variable_typing(spark):
+    # `case Worker d:` narrows d to Worker (DeclarationPatternSyntax)
+    caller = """using Lib;
+
+namespace App;
+
+public class Caller
+{
+    public void Sort(object o)
+    {
+        switch (o)
+        {
+            case Worker d:
+                d.Pulse();
+                break;
+        }
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Worker.cs", WORKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    assert ("r1:App.Caller.Sort(object)", "src__INVOKES",
+            "r1:Lib.Worker.Pulse()") in edges
+
+
 def test_same_type_assignment_is_identity_no_edge(spark):
     # `a = b;` between same-typed locals is an identity conversion ->
     # no user-defined operator is invoked
