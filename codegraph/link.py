@@ -284,28 +284,6 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                          F.col("m_name").alias("cand_ns"))
                  .distinct())
 
-    # optional-parameter signatures (optsig records): a method with default
-    # values accepts call sites from min_nparams to nparams arguments
-    # (Roslyn fills the defaults; CSharpErrorMessageFormat displays types
-    # only, so the symbol table alone cannot see optionality). Left join
-    # keeps min_nparams null everywhere else; dictionary-scale.
-    opts = (mentions.filter(F.col("m_kind") == "optsig")
-            .select(F.col("repo").alias("o_repo"),
-                    F.col("m_recv").alias("o_tdisplay"),
-                    F.col("m_name").alias("o_name"),
-                    F.when(F.col("m_args").isNull(), F.lit(""))
-                    .otherwise(F.array_join(F.split("m_args", US), ", "))
-                    .alias("o_params"),
-                    F.col("m_nargs").alias("min_nparams"))
-            .distinct())
-    members = (members.join(
-        opts,
-        on=[members.mm_repo == opts.o_repo,
-            members.type_display == opts.o_tdisplay,
-            members.lookup_name == opts.o_name,
-            members.params == opts.o_params],
-        how="left").drop("o_repo", "o_tdisplay", "o_name", "o_params"))
-
     kind = F.col("m_kind")
     kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
 
@@ -352,14 +330,29 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                 .filter(F.col("lookup_name") != "<ctor>")  # ctors don't inherit
                 .select("mm_repo",
                         F.col("derived_display").alias("type_display"),
-                        "lookup_name", "nparams", "params", "member_key",
-                        "min_nparams")
+                        "lookup_name", "nparams", "params", "member_key")
                 .withColumn("depth", F.lit(depth)))
 
     own_members = members.withColumn("depth", F.lit(0))
     lvl1 = _inherit(members, 1)
     lvl2 = _inherit(lvl1.drop("depth"), 2)  # grandparent, bounds the subset
     members = own_members.unionByName(lvl1).unionByName(lvl2)
+
+    # optional-parameter signatures (optsig records): a method with default
+    # values accepts call sites from min_nparams to nparams arguments
+    # (Roslyn fills the defaults; CSharpErrorMessageFormat displays types
+    # only, so the symbol table alone cannot see optionality). Keyed by the
+    # member key — unique per member, preserved through the inherit
+    # expansion — and built from the RAW records with a narrow projection
+    # (no mid hashing, no wide identity columns), joined ONCE after the
+    # union so the plan evaluates the optsig scan a single time.
+    opts = (records.filter((F.col("rec") == "mention")
+                           & (F.col("m_kind") == "optsig"))
+            .select(F.col("m_from_key").alias("o_key"),
+                    F.col("m_nargs").alias("min_nparams"))
+            .distinct())
+    members = members.join(
+        opts, on=[members.member_key == opts.o_key], how="left").drop("o_key")
 
     # --- pass 2: member lookup ----------------------------------------------
     # own-type invocations (incl. method groups) skip type resolution: m_recv
