@@ -142,14 +142,21 @@ _RE_CHAIN = re.compile(
     r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)")
 # two-level chain a.B().C().D(): D binds through TWO retsig hops (B's return
 # resolves C's declaring type, C's return resolves D's). The _RE_CHAIN match
-# on the same text gives C its edge; _RE_CALL gives B its edge. Chains
-# deeper than two hops stay out of the lexer subset (the reference binds
-# arbitrary depth through Roslyn, MemberDependencyExtractor.cs:77-182).
+# on the same text gives C its edge; _RE_CALL gives B its edge.
 _RE_CHAIN3 = re.compile(
     r"(?<![\w.])(?:(?P<recv>this|\w+)\.)?(?P<m1>\w+)\s*\((?P<a1>[^)]*)\)"
     r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)"
     r"\s*\.\s*(?P<m3>\w+)\s*\((?P<a3>[^)]*)\)")
-_MAX_CHAIN_HOPS = 2
+# three-level chain a.B().C().D().E(): E binds through THREE retsig hops;
+# the shorter scans give B/C/D their edges on the same text
+_RE_CHAIN4 = re.compile(
+    r"(?<![\w.])(?:(?P<recv>this|\w+)\.)?(?P<m1>\w+)\s*\((?P<a1>[^)]*)\)"
+    r"\s*\.\s*(?P<m2>\w+)\s*\((?P<a2>[^)]*)\)"
+    r"\s*\.\s*(?P<m3>\w+)\s*\((?P<a3>[^)]*)\)"
+    r"\s*\.\s*(?P<m4>\w+)\s*\((?P<a4>[^)]*)\)")
+# must match link.MAX_CHAIN_HOPS: chains needing more hops than this drop
+# (the reference binds arbitrary depth, MemberDependencyExtractor.cs:77-182)
+_MAX_CHAIN_HOPS = 4
 # member-access chains with PROPERTY hops: `a.Prop.M()`, `this.P1.P2.M()`,
 # `a.Prop.B().C()` — each segment is a name with or without an argument
 # list; non-final paren-less segments are property hops (name␟P in the hop
@@ -157,13 +164,14 @@ _MAX_CHAIN_HOPS = 2
 # call hops resolve through retsig (Roslyn binds the MemberAccessExpression
 # through the property symbol's declared type,
 # MemberDependencyExtractor.cs:77-182). Pure-call chains skip here —
-# _RE_CHAIN/_RE_CHAIN3 already cover them.
+# _RE_CHAIN/_RE_CHAIN3/_RE_CHAIN4 already cover them.
 _SEG = r"\w+(?:\([^()]*\))?"
 _RE_MCHAIN = re.compile(
     r"(?<![\w.])(?P<recv>this|\w+)"
     r"\.(?P<s1>" + _SEG + r")"
     r"(?:\.(?P<s2>" + _SEG + r"))?"
-    r"(?:\.(?P<s3>" + _SEG + r"))?")
+    r"(?:\.(?P<s3>" + _SEG + r"))?"
+    r"(?:\.(?P<s4>" + _SEG + r"))?")
 # bare property read as a local initializer: `var c = a.Prop;` — the local
 # carries the pending property hop, same tracking as call-return locals
 _RE_PROP_READ = re.compile(r"^(?P<recv>this|\w+)\.(?P<p>\w+)$")
@@ -212,6 +220,10 @@ _RE_TARGS_CALL = re.compile(r"(?<![\w.])(?<!new )(?P<n>\w+)<[\w.?, ]+>\s*\(")
 _RE_MGROUP = re.compile(
     r"(?<![\w.)\]])(?P<recv>[A-Za-z_]\w*)\s*\.\s*(?P<name>[A-Za-z_]\w*)"
     r"(?!\s*[\w(.\[<])")
+# nameof(...) spans (single-level parens — the subset's nameof arguments
+# are identifiers/member accesses): blanked before the scans so nothing
+# inside emits a mention
+_RE_NAMEOF = re.compile(r"(?<![\w.])nameof\s*\(([^()]*)\)")
 # simple-assignment statement: `name = rhs;` — the RHS is an implicit-
 # conversion candidate (AssignmentExpressionSyntax right,
 # MemberDependencyExtractor.cs:210)
@@ -730,12 +742,16 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
         # binding needs no filter here (the indexing min-accessibility
         # filter governs which SYMBOLS are exported, not how receivers
         # bind). Column reuse: m_recv=declaring type display, m_head=member
-        # type token, m_nargs=-1 (the prop-hop rank sentinel).
+        # type token, m_nargs=-1 (the prop-hop rank sentinel). The record
+        # carries the DECLARING file's candidate namespaces: Roslyn resolves
+        # a member's declared type at its declaration site, so link-time
+        # resolution of the hop-result token uses these, not the call
+        # site's usings.
         for mrec in t.members:
             if mrec["mkind"] in ("Property", "Field") and mrec.get("type"):
                 em.mention("propsig",
                            keys.csharp_key(repo, f"{t.display}.{mrec['name']}"),
-                           "", mrec["name"], t.display, [], -1,
+                           "", mrec["name"], t.display, cand_ns, -1,
                            m_head=mrec["type"].rstrip("?"))
 
         # own-type method signature map (overload-aware; used for method
@@ -790,9 +806,11 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                         # B's return type (Roslyn semantic binding,
                         # MemberDependencyExtractor.cs:77-182). Column reuse:
                         # m_recv=declaring type display, m_args=param tokens,
-                        # m_head=return token.
+                        # m_head=return token. Carries the DECLARING file's
+                        # candidate namespaces (Roslyn resolves the return
+                        # type where the method is declared).
                         em.mention("retsig", key, "", mrec["name"], t.display,
-                                   [], len(ptoks), m_args=ptoks,
+                                   cand_ns, len(ptoks), m_args=ptoks,
                                    m_head=mrec["ret"].rstrip("?"))
                     if mrec.get("n_opt"):
                         # optional-parameter record: the member accepts call
@@ -1000,7 +1018,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     def emit_chain(base: str | None, hops: tuple[str, ...],
                    final_name: str, final_argstr: str) -> None:
         if not hops or len(hops) > _MAX_CHAIN_HOPS:
-            return  # beyond the two-hop subset -> drop (dangling outcome)
+            return  # beyond the hop bound -> drop (dangling outcome)
         nargs = _count_args(final_argstr)
         args = [_classify_arg(a, locals_, t.fields, t.display)
                 for a in _split_args(final_argstr)]
@@ -1096,11 +1114,17 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 awaited = rhs_c.startswith("await ")
                 if awaited:
                     rhs_c = rhs_c[6:].lstrip()
-                m3_ = _RE_CHAIN3.fullmatch(rhs_c)
-                m2_ = _RE_CHAIN.fullmatch(rhs_c) if m3_ is None else None
+                m4_ = _RE_CHAIN4.fullmatch(rhs_c)
+                m3_ = _RE_CHAIN3.fullmatch(rhs_c) if m4_ is None else None
+                m2_ = (_RE_CHAIN.fullmatch(rhs_c)
+                       if m4_ is None and m3_ is None else None)
                 m1_ = (_RE_CALL.fullmatch(rhs_c)
-                       if m3_ is None and m2_ is None else None)
-                if m3_ is not None:
+                       if m4_ is None and m3_ is None and m2_ is None else None)
+                if m4_ is not None:
+                    trk = (m4_.group("recv"),
+                           [(m4_.group(f"m{i}"), m4_.group(f"a{i}"))
+                            for i in range(1, 5)])
+                elif m3_ is not None:
                     trk = (m3_.group("recv"),
                            [(m3_.group("m1"), m3_.group("a1")),
                             (m3_.group("m2"), m3_.group("a2")),
@@ -1177,11 +1201,20 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
         pieces.append(text[last:])
         text = "".join(pieces)
 
-    # explicit call-site type arguments vanish from the bound display
-    # (Echo<string>("w") binds the definition Echo<T>(T)); strip the list
-    # so the call scans see the plain bare-name + arity shape the link
-    # dictionary matches
+    # explicit call-site type arguments vanish from the lookup shape
+    # (Echo<string>("w") scans as Echo("w")); the link-time lookup then
+    # binds the generic DEFINITION and emits NO edge — the reference keys
+    # the edge off the CONSTRUCTED symbol display, which dangles
+    # (SymbolMapper.BuildStableSymbolKey, no .OriginalDefinition)
     text = _RE_TARGS_CALL.sub(r"\g<n>(", text)
+
+    # nameof(...) argument spans are blanked BEFORE the member-access /
+    # identifier scans: Roslyn returns SymbolInfo.Symbol = null inside
+    # nameof (CandidateReason.MemberGroup), so neither a bare identifier
+    # (nameof(Run)) nor a member access (nameof(_dep.Run)) binds anything —
+    # the reference's IMethodSymbol pattern-match adds no edge
+    text = _RE_NAMEOF.sub(
+        lambda m: "nameof(" + " " * len(m.group(1)) + ")", text)
 
     # --- invocation pass ----------------------------------------------------
     for m in _RE_NEW.finditer(text):
@@ -1201,14 +1234,14 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns, nargs,
                        m_args=args)
 
-    for rx, n_heads in ((_RE_CHAIN, 1), (_RE_CHAIN3, 2)):
+    for rx, n_heads in ((_RE_CHAIN, 1), (_RE_CHAIN3, 2), (_RE_CHAIN4, 3)):
         # chained members: `recv.M1(a1).M2(a2)[.M3(a3)]` — M1's INVOKES
         # comes from the _RE_CALL scan below; each later member binds
         # through the PRECEDING call's return type, which only the
         # link-time retsig dictionary knows (reference: Roslyn binds the
         # full chain semantically, MemberDependencyExtractor.cs:77-182).
-        # _RE_CHAIN fires on a 3-call chain's prefix too, giving M2 its
-        # edge; _RE_CHAIN3 adds M3's two-hop binding.
+        # _RE_CHAIN fires on a longer chain's prefix too, giving M2 its
+        # edge; _RE_CHAIN3/_RE_CHAIN4 add M3's/M4's deeper bindings.
         for m in rx.finditer(text):
             parts = [(m.group(f"m{i}"), m.group(f"a{i}"))
                      for i in range(1, n_heads + 2)]
@@ -1226,13 +1259,13 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
 
     # member-access chains containing PROPERTY hops: `a.Prop.M()`,
     # `this.P1.P2.M()`, mixed `a.Prop.B().M()` / `a.B().Prop.M()`. Pure-call
-    # chains skip (the _RE_CHAIN/_RE_CHAIN3 scans above own them); the final
-    # segment must be an invocation (a bare trailing property reads no
+    # chains skip (the _RE_CHAIN/_RE_CHAIN3/_RE_CHAIN4 scans above own them);
+    # the final segment must be an invocation (a bare trailing property reads no
     # member the subset records). Namespace-qualified static calls
     # (`Sys.Util.Go()`) parse as property hops off a static type receiver
     # and drop in the propsig lookup — same no-edge outcome they had before.
     for m in _RE_MCHAIN.finditer(text):
-        segs = [m.group(g) for g in ("s1", "s2", "s3") if m.group(g)]
+        segs = [m.group(g) for g in ("s1", "s2", "s3", "s4") if m.group(g)]
         parsed = []
         for s in segs:
             if "(" in s:
@@ -1338,13 +1371,18 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 # using-static fallback: a bare simple name with NO own
                 # member of that name looks through the file's using-static
                 # imports (Roslyn simple-name lookup order: members of the
-                # enclosing type win; two imports declaring the same
-                # applicable member are a CS0229-style ambiguity the subset
-                # resolves by import order). m_head carries the imported
-                # type displays; the link side joins them straight into the
-                # member lookup
+                # enclosing type AND ITS BASES win; two imports declaring
+                # the same applicable member are a CS0229-style ambiguity
+                # the subset resolves by import order). m_head carries the
+                # imported type displays; the link side joins them straight
+                # into the member lookup. m_recv carries the OWN type
+                # display: the lexer cannot see INHERITED members (base is
+                # cross-file), so link suppresses this mention when the
+                # inherit-expanded dictionary declares the name on the own
+                # type — C# scope lookup stops there before consulting
+                # using-static imports.
                 em.mention("invoke_ustatic", caller_key, R_INVOKES, name,
-                           None, [], nargs, m_args=args,
+                           t.display, [], nargs, m_args=args,
                            m_head=US.join(static_usings))
             # implicit conversions at ARGUMENT position against the own-type
             # overload whose arity matches (ArgumentSyntax candidates, :184-193)

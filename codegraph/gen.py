@@ -395,13 +395,12 @@ def _render_csharp(spec: dict) -> str:
         if (c.get("has_async") and c["dep_name"]
                 and "System.Threading.Tasks" not in usings):
             usings.append("System.Threading.Tasks")
-        # property-hop navigation resolves the GRAND-dep token (the dep's
-        # Item property type) against THIS file's candidate namespaces
-        if (c.get("has_propnav") and c["dep_name"] and c["dep_item_type"]
-                and c["dep_item_ns"] and c["dep_item_ns"] != ns
-                and c["dep_item_ns"] != c["global_ns"]
-                and c["dep_item_ns"] not in usings):
-            usings.append(c["dep_item_ns"])
+        # NOTE: property-hop navigation (`_dep.Item.Run()`) deliberately
+        # injects NO using for the grand-dep namespace here: the hop-result
+        # token resolves at its DECLARATION site (the dep's file imports the
+        # grand-dep namespace for its own `Item` property), matching Roslyn.
+        # A caller that never imports the grand-dep namespace is therefore
+        # exercised by every propnav shape.
     lines = []
     for u in usings:
         lines.append(f"using {u};")
@@ -547,8 +546,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("        go();")
         lines.append("    }")
     if c.get("has_generic"):
-        # generic method (display Echo<T>(T)); the call site infers T=int and
-        # binds by arity after the bare-name lookup
+        # generic method (display Echo<T>(T)). BOTH call sites — inferred
+        # Echo(5) and explicit Echo<string>("w") — bind the CONSTRUCTED
+        # method in Roslyn (GetSymbolInfo returns Echo<int>(int) /
+        # Echo<string>(string)), whose display-keyed edge matches no
+        # declared node and drops at MergeRelationships: the shapes
+        # exercise the NO-edge outcome (and that the successful bind still
+        # suppresses the extension-method fallback)
         lines.append("    public T Echo<T>(T item)")
         lines.append("    {")
         lines.append("        return item;")
@@ -557,8 +561,6 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append("        Echo(5);")
         lines.append("    }")
-        # explicit type-argument call site: Roslyn binds the invocation to
-        # the generic DEFINITION, so the edge lands on Echo<T>(T)
         lines.append("    public void Nominate()")
         lines.append("    {")
         lines.append('        Echo<string>("w");')
@@ -629,6 +631,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append("        Self().Self().Run();")
         lines.append("    }")
+        # three-level chain: Run() binds through THREE retsig hops — the
+        # reference binds arbitrary depth (MemberDependencyExtractor.cs:
+        # 77-182); the replica's bound is link.MAX_CHAIN_HOPS
+        lines.append("    public void Braid()")
+        lines.append("    {")
+        lines.append("        Self().Self().Self().Run();")
+        lines.append("    }")
         if dep and c.get("dep_has_chain"):
             # Hop() returns the DEP type: its return-type dep edge + the
             # type-CHANGING chains below (own -> dep transitions)
@@ -657,6 +666,14 @@ def _render_one_class(c: dict) -> list:
             lines.append("        _dep?.Run();")
             lines.append("        _dep?.Self().Run();")
             lines.append("    }")
+            if c.get("dep_item_type"):
+                # mixed call/property 3-hop chain: Self (dep) -> Self (dep)
+                # -> Item (prop hop, dep -> grand-dep) -> Run binds on the
+                # GRAND-dep (Roslyn binds the full MemberAccess chain)
+                lines.append("    public void Lace()")
+                lines.append("    {")
+                lines.append("        _dep.Self().Self().Item.Run();")
+                lines.append("    }")
     if c.get("has_lambda"):
         # statement lambda: the body call attributes to Sweep (Roslyn walks
         # lambda bodies as part of the enclosing member); the typed-lambda
@@ -739,11 +756,18 @@ def _render_one_class(c: dict) -> list:
         lines.append("    }")
         # nameof over a method group binds NO symbol (SymbolInfo.Symbol is
         # null, CandidateReason.MemberGroup) -> the reference adds nothing;
-        # the oracle deliberately enumerates no edge for this line
+        # the oracle deliberately enumerates no edge for EITHER line — the
+        # member-access form (nameof(_dep.Run)) exercises the same null
+        # binding through the _RE_MGROUP scan's nameof blanking
         lines.append("    public string Label()")
         lines.append("    {")
         lines.append("        return nameof(Accept);")
         lines.append("    }")
+        if dep:
+            lines.append("    public string Tagline()")
+            lines.append("    {")
+            lines.append("        return nameof(_dep.Run);")
+            lines.append("    }")
     if c.get("has_ternary") and dep:
         # conditional expression over same-typed operands types the local
         # (Roslyn best common type); the interpolated-string hole is a

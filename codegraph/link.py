@@ -29,25 +29,30 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
      (Roslyn would bind by conversion rules the lexer cannot see).
    Generic method declarations (``Echo<T>(T)``) are looked up by their bare
    name (Roslyn infers type arguments at the call site) and matched by
-   arity.
+   arity — but a generic winner emits NO edge: the reference keys edges off
+   the CONSTRUCTED symbol display (``Echo<int>(int)``), which matches no
+   declared node, so the edge drops at MergeRelationships. The successful
+   bind still suppresses the extension-method fallback.
 
    Two member-lookup extensions mirror Roslyn's binding order:
-   * **access chains, up to two hops** — ``a.B().C()``, ``a.B().C().D()``,
-     property hops (``a.Prop.M()``, ``this.Prop.M()``), awaited heads
-     (``var r = await a.GetAsync(); r.M()``), and their var-tracked
-     equivalents (``var x = a.B(); x.C()``: the local carries B's pending
-     return): extraction emits a ``chain`` mention whose ``m_head`` lists
-     the hop signatures; resolution consumes one hop per loop iteration —
-     a call hop looks its head up in a return-token dictionary (``retsig``
-     records emitted per method declaration), a property hop (``name␟P``)
-     in a property/field type dictionary (``propsig`` records), an awaited
-     hop (``@``-prefixed) additionally unwraps ``Task<T>``/``ValueTask<T>``
-     to ``T`` (Roslyn: the await-expression's type is the awaiter's
-     GetResult type) — then resolves the result token like any other type
-     mention and repeats, binding the final member on the outcome.
-     Head-overload ambiguity, a keyword/BCL result, an awaited
-     non-Task-shaped return, or a 3+-hop chain drops (the reference's
-     dangling-edge outcome; Roslyn binds arbitrary depth semantically).
+   * **access chains, up to MAX_CHAIN_HOPS hops** — ``a.B().C()``,
+     ``a.B().C().D().E()``, property hops (``a.Prop.M()``,
+     ``this.Prop.M()``), awaited heads (``var r = await a.GetAsync();
+     r.M()``), and their var-tracked equivalents (``var x = a.B();
+     x.C()``: the local carries B's pending return): extraction emits a
+     ``chain`` mention whose ``m_head`` lists the hop signatures. The hop
+     dictionaries — ``retsig`` (per method declaration) and ``propsig``
+     (per property/field) — pre-resolve their result tokens ONCE at
+     dictionary scale against the DECLARING file's candidate namespaces
+     (Roslyn resolves a return/property type at its declaration site);
+     awaited tokens additionally unwrap ``Task<T>``/``ValueTask<T>`` to
+     ``T`` (the awaiter's GetResult type). Resolution then consumes one
+     hop per loop iteration as a single ranked dictionary join whose
+     winning pre-resolved display becomes the next receiver, binding the
+     final member on the outcome. Head-overload ambiguity, a keyword/BCL
+     result, an awaited non-Task-shaped return, or a deeper-than-bound
+     chain drops (the reference's dangling-edge outcome; Roslyn binds
+     arbitrary depth semantically).
    * **extension methods** — receiver-typed calls that found NO applicable
      instance member fall through to an ``extsig`` dictionary of static
      methods keyed by their ``this``-parameter token (matched against the
@@ -143,13 +148,21 @@ def build_dictionaries(symbols: DataFrame):
             "type_display",
             F.expr("substring(head, 1, length(head) - length(simple) - 1)"),
         )
+        # generic methods STAY in the dictionary so they win the ranked
+        # lookup (suppressing the extension-method fallback, like Roslyn's
+        # successful instance binding) — but the winner emits NO edge:
+        # GetSymbolInfo returns the CONSTRUCTED method (Echo<int>(int)) and
+        # SymbolMapper.BuildStableSymbolKey displays it without
+        # .OriginalDefinition, so the edge key matches no declared node and
+        # drops at MergeRelationships (MATCH, not MERGE).
+        .withColumn("is_generic", F.col("simple").rlike("^\\w+<"))
         .withColumn("lookup_name",
                     F.when(F.col("name") == ".ctor", F.lit("<ctor>"))
                     .when(F.col("simple").rlike("^\\w+<"),
                           F.expr("substring_index(simple, '<', 1)"))
                     .otherwise(F.col("simple")))
         .select(F.col("repo").alias("mm_repo"), "type_display",
-                "lookup_name", "nparams", "params",
+                "lookup_name", "nparams", "params", "is_generic",
                 F.col("key").alias("member_key"))
     )
     return types, methods, nss
@@ -157,6 +170,12 @@ def build_dictionaries(symbols: DataFrame):
 
 _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
                     "m_recv", "m_usings", "m_nargs", "m_args", "m_head"]
+
+# static bound on access-chain depth (a.B().C().D().E() = 3 hops). Each hop
+# costs one bounded join round over chain-mention-scale frames, so the
+# constant prices linearly; deeper chains than this drop (the reference
+# binds arbitrary depth semantically — MemberDependencyExtractor.cs:77-182)
+MAX_CHAIN_HOPS = 4
 
 # priority assigned to every global-using candidate namespace: any local
 # candidate (posexplode index < 100000) outranks the global pool, and ties
@@ -241,10 +260,21 @@ def _as_edge(df: DataFrame, dst_col: str) -> DataFrame:
 
 
 def resolve_mentions(records: DataFrame, symbols: DataFrame,
-                     salt: int = 0) -> DataFrame:
+                     salt: int = 0, persist: bool = False) -> DataFrame:
     """mention records -> resolved candidate edges (repo, src_key, rel_type,
     dst_key). Duplicate mentions collapse inside the ranked groupBys — MERGE
     semantics make edge multiplicity irrelevant (§1.4.4).
+
+    ``persist`` caches the frames that feed MULTIPLE downstream branches
+    (``resolved_full`` feeds 4: type edges, member lookup, chain heads,
+    extension fallback; ``bases`` 3; ``dim``/``ranked`` 2 each) — without it
+    Spark re-executes the whole pass-1 explode+join+min_by subtree once per
+    branch inside the single edge job (measured 2.3x on the full pipeline).
+    Every cached frame is either dictionary-scale or a NARROW per-mid
+    projection (64-bit mid + short strings), so the cache footprint stays
+    a small fraction of the corpus at any scale; MEMORY_AND_DISK spills
+    rather than OOMs on a misestimate. Caller owns cleanup via
+    ``spark.catalog.clearCache()`` (the frames stay referenced lazily).
 
     Shuffle budget (the whole resolution is TWO ranked lookups over COMPACT
     64-bit mention ids):
@@ -263,9 +293,22 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     narrow join per pass against the deduped per-mid dim, so neither ranked
     shuffle ever carries the wide identity columns.
     """
+    def _p(df: DataFrame) -> DataFrame:
+        # UNCONDITIONAL persist (the ``persist`` flag is ignored here, by
+        # design): every wrapped frame feeds >=2 downstream branches or a
+        # loop iteration whose lineage nests the previous ones, so without
+        # a cache boundary BOTH the executed work and the Catalyst plan
+        # grow multiplicatively (persist substitutes InMemoryRelation at
+        # analysis time, truncating the plan — optimizer time alone
+        # dominated tiny-fixture runs before this). Every frame is either
+        # dictionary-scale or a NARROW per-mid projection, MEMORY_AND_DISK
+        # spills rather than OOMs, and the caller releases via
+        # spark.catalog.clearCache().
+        return df.persist()
+
     types, members, nss = build_dictionaries(symbols)
-    mentions = _with_mid(
-        records.filter(F.col("rec") == "mention").select(*_MENTION_ID_COLS))
+    mentions = _p(_with_mid(
+        records.filter(F.col("rec") == "mention").select(*_MENTION_ID_COLS)))
 
     # narrow per-mid dim: ONLY the columns downstream passes need — the wide
     # m_usings / path columns are excluded, so this dedup shuffle and the
@@ -277,12 +320,14 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
            .select("repo", "mid", "m_kind", "m_from_key", "m_rel",
                    "m_name", "m_recv", "m_nargs", "m_args", "m_head")
            .dropDuplicates(["repo", "mid"]))
+    dim = _p(dim)
 
     # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
     global_ns = (mentions.filter(F.col("m_kind") == "global_using")
                  .select(F.col("repo").alias("g_repo"),
                          F.col("m_name").alias("cand_ns"))
                  .distinct())
+    global_ns = _p(global_ns)
 
     kind = F.col("m_kind")
     kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
@@ -301,7 +346,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                 & ~F.col("resolve_tok").startswith("System.")))
     resolved_t = _resolve_types(needs_type, types, salt, global_ns)
     # recover the narrow output/ranking columns once per resolved mention
-    resolved_full = resolved_t.join(dim, ["repo", "mid"])
+    resolved_full = _p(resolved_t.join(dim, ["repo", "mid"]))
 
     type_edges = _as_edge(resolved_full.filter(kind == "type"), "t_key")
 
@@ -322,6 +367,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
              .select(F.col("repo").alias("b_repo"), "derived_display",
                      F.col("t_display").alias("base_display"))
              .distinct())
+    bases = _p(bases)
 
     def _inherit(mbrs: DataFrame, depth: int) -> DataFrame:
         return (mbrs.join(bases,
@@ -330,7 +376,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                 .filter(F.col("lookup_name") != "<ctor>")  # ctors don't inherit
                 .select("mm_repo",
                         F.col("derived_display").alias("type_display"),
-                        "lookup_name", "nparams", "params", "member_key")
+                        "lookup_name", "nparams", "params", "is_generic",
+                        "member_key")
                 .withColumn("depth", F.lit(depth)))
 
     own_members = members.withColumn("depth", F.lit(0))
@@ -351,8 +398,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
             .select(F.col("m_from_key").alias("o_key"),
                     F.col("m_nargs").alias("min_nparams"))
             .distinct())
-    members = members.join(
-        opts, on=[members.member_key == opts.o_key], how="left").drop("o_key")
+    members = _p(members.join(
+        opts, on=[members.member_key == opts.o_key], how="left").drop("o_key"))
 
     # --- pass 2: member lookup ----------------------------------------------
     # own-type invocations (incl. method groups) skip type resolution: m_recv
@@ -387,54 +434,96 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     #     iteration, then ride the shared member-lookup join below. m_head
     #     carries the hop signatures RS-separated: one hop for a.B().C()
     #     and `var x = a.B(); x.C()`, two for a.B().C().D() ----------------
-    rets = (mentions.filter(F.col("m_kind") == "retsig")
-            .select(F.col("repo").alias("rr_repo"),
-                    F.col("m_recv").alias("rt_display"),
-                    F.col("m_name").alias("r_name"),
-                    F.col("m_nargs").alias("r_nparams"),
-                    F.when(F.col("m_args").isNull(), F.lit(""))
-                    .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
-                    .alias("r_params"),
-                    F.col("m_head").alias("r_ret"))
-            .distinct()
-            .withColumn("r_prop", F.lit(False)))
+    # The result tokens resolve ONCE here, at DICTIONARY scale, against the
+    # DECLARING file's candidate namespaces (the retsig/propsig records
+    # carry them): Roslyn resolves a method's return type and a property's
+    # declared type at the declaration site, not per call site. Tokens that
+    # are keywords, BCL/external names, generic shapes (List<T>), or
+    # CS0104-ambiguous never resolve -> null display -> any chain stepping
+    # through them drops (the reference's dangling-edge outcome). Awaited
+    # hops need the Task<T>/ValueTask<T>-unwrapped token (Roslyn: the
+    # await-expression's type is the awaiter's GetResult type), so both
+    # forms resolve side by side and the hop picks one by its await flag.
+    rets_raw = (mentions.filter(F.col("m_kind") == "retsig")
+                .select(F.col("repo"),
+                        F.col("m_recv").alias("rt_display"),
+                        F.col("m_name").alias("r_name"),
+                        F.col("m_nargs").alias("r_nparams"),
+                        F.when(F.col("m_args").isNull(), F.lit(""))
+                        .otherwise(F.array_join(F.split(F.col("m_args"), US),
+                                                ", "))
+                        .alias("r_params"),
+                        F.col("m_head").alias("r_ret"),
+                        F.col("m_usings"))
+                .distinct()
+                .withColumn("r_prop", F.lit(False)))
     # property/field type dictionary: a property hop (`a.Prop.M()`) steps
     # through the member's declared type token instead of a call return.
     # Same bounded dictionary scale as retsig; r_nparams = -1 sentinel keeps
     # the shared rank expression exact-matching prop hops only.
     nargs_t = dict(mentions.dtypes)["m_nargs"]
-    props = (mentions.filter(F.col("m_kind") == "propsig")
-             .select(F.col("repo").alias("rr_repo"),
-                     F.col("m_recv").alias("rt_display"),
-                     F.col("m_name").alias("r_name"),
-                     F.lit(-1).cast(nargs_t).alias("r_nparams"),
-                     F.lit("").alias("r_params"),
-                     F.col("m_head").alias("r_ret"))
-             .distinct()
-             .withColumn("r_prop", F.lit(True)))
-    rets = rets.unionByName(props)
+    props_raw = (mentions.filter(F.col("m_kind") == "propsig")
+                 .select(F.col("repo"),
+                         F.col("m_recv").alias("rt_display"),
+                         F.col("m_name").alias("r_name"),
+                         F.lit(-1).cast(nargs_t).alias("r_nparams"),
+                         F.lit("").alias("r_params"),
+                         F.col("m_head").alias("r_ret"),
+                         F.col("m_usings"))
+                 .distinct()
+                 .withColumn("r_prop", F.lit(True)))
+    rets_raw = rets_raw.unionByName(props_raw).withColumn(
+        "mid", F.xxhash64("repo", "rt_display", "r_name", "r_nparams",
+                          "r_params", "r_ret", "r_prop"))
+    unwrap_tok = F.regexp_extract(
+        F.col("r_ret"),
+        r"^(?:System\.Threading\.Tasks\.)?(?:Task|ValueTask)<(.+)>$", 1)
+    ret_toks = (rets_raw.select(
+        "repo", "mid", "m_usings",
+        F.explode(F.array(
+            F.struct(F.lit(False).alias("aw"), F.col("r_ret").alias("tok")),
+            F.struct(F.lit(True).alias("aw"), unwrap_tok.alias("tok"))))
+        .alias("t"))
+        .select("repo", "mid", "m_usings", F.col("t.aw").alias("aw"),
+                F.col("t.tok").alias("resolve_tok"))
+        .filter((F.col("resolve_tok") != "")
+                & ~F.array_contains(kw, F.col("resolve_tok"))
+                & ~F.col("resolve_tok").startswith("System.")
+                & ~F.col("resolve_tok").isin(*EXTERNAL_TYPE_DISPLAY.keys())))
+    rdisp = (_resolve_types(ret_toks.drop("aw"), types, salt, global_ns)
+             .join(ret_toks.select("repo", "mid", "resolve_tok", "aw"),
+                   ["repo", "mid", "resolve_tok"])
+             .groupBy("repo", "mid")
+             .agg(F.max(F.when(~F.col("aw"), F.col("t_display")))
+                  .alias("ret_display"),
+                  F.max(F.when(F.col("aw"), F.col("t_display")))
+                  .alias("await_display")))
+    rets = _p(rets_raw.join(rdisp, ["repo", "mid"], "left")
+              .select(F.col("repo").alias("rr_repo"), "rt_display", "r_name",
+                      "r_nparams", "r_params", "r_prop", "r_ret",
+                      "ret_display", "await_display"))
     chain_cols = ["repo", "mid", "m_head", "t_display"]
     ch_via = resolved_full.filter(kind == "chain_via").select(*chain_cols)
     ch_own = (dim.filter(kind == "chain_own")
               .withColumn("t_display", F.col("m_recv"))
               .select(*chain_cols))
-    musings = (mentions.select("repo", "mid", "m_usings")
-               .dropDuplicates(["repo", "mid"]))
-    # hop loop: each iteration consumes ONE head signature — ranked lookup
-    # in the retsig dictionary on the current receiver type (overload
-    # ambiguity or a keyword/BCL return drops the chain, the reference's
-    # dangling-edge outcome), then the return token resolves like any other
-    # type mention and becomes the next receiver. Chains whose hop list is
-    # exhausted exit to the member-lookup join; two static iterations bound
-    # the subset (a.B().C().D() / var-tracked equivalents) — a 3+-hop
-    # m_head leaves `pending` non-empty after the loop and drops. All
-    # frames here are dictionary/chain-mention-scale, so the loop adds two
-    # bounded join rounds, not a corpus-wide shuffle.
+    # hop loop: each iteration consumes ONE head signature — a single ranked
+    # lookup in the pre-resolved retsig dictionary on the current receiver
+    # type (overload ambiguity, a keyword/BCL result, or an awaited
+    # non-Task-shaped return drops the chain, the reference's dangling-edge
+    # outcome); the winning hop's pre-resolved display becomes the next
+    # receiver directly — no per-hop type resolution. Chains whose hop list
+    # is exhausted exit to the member-lookup join; MAX_CHAIN_HOPS static
+    # iterations bound the depth (a deeper m_head leaves `pending` non-empty
+    # after the loop and drops — the reference binds arbitrary depth,
+    # MemberDependencyExtractor.cs:77-182, so raise the constant to widen).
+    # All frames here are dictionary/chain-mention-scale: each hop adds ONE
+    # bounded join round, not a corpus-wide shuffle.
     pending = (ch_via.unionByName(ch_own)
                .select("repo", "mid", "t_display",
                        F.split(F.col("m_head"), RS).alias("hops")))
     done = None
-    for _hop in range(2):
+    for _hop in range(MAX_CHAIN_HOPS):
         hp = F.split(F.element_at(F.col("hops"), 1), US)
         raw_name = hp.getItem(0)
         is_prop = hp.getItem(1) == F.lit("P")
@@ -463,43 +552,31 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         hranked = (
             hj.groupBy("repo", "mid")
             .agg(F.min("_hr").alias("_h0"),
-                 F.expr("min_by(struct(r_params, r_ret), struct(_hr, r_params))")
+                 F.expr("min_by(struct(r_params, r_ret, ret_display, "
+                        "await_display), struct(_hr, r_params))")
                  .alias("_minr"),
                  F.expr("max_by(struct(r_params, r_ret), struct(-_hr, r_params))")
                  .alias("_maxr"),
                  F.max(F.col("h_args").contains("?")).alias("_hunk"),
                  F.first("h_await").alias("h_await")))
         # head overload ambiguity mirrors the member pass: an arity-rank tie
-        # with unclassified args is a Roslyn error -> the whole chain drops.
-        # An awaited hop unwraps Task<T>/ValueTask<T> to T (the awaiter's
-        # GetResult type); a non-Task-shaped awaited return extracts '' and
-        # drops (custom awaitables are out of the lexer subset).
+        # with unclassified args (differing in params or raw return) is a
+        # Roslyn error -> the whole chain drops. The ambiguity compare uses
+        # the RAW token columns, not the resolved displays, so two
+        # unresolvable-but-different overload returns still count as a tie.
         h_ok = (hranked
                 .filter(~(F.col("_hunk") & (F.col("_h0") >= 1)
-                          & (F.col("_minr") != F.col("_maxr"))))
+                          & ((F.col("_minr.r_params") != F.col("_maxr.r_params"))
+                             | (F.col("_minr.r_ret") != F.col("_maxr.r_ret")))))
                 .select("repo", "mid",
-                        F.when(F.col("h_await"),
-                               F.regexp_extract(
-                                   F.col("_minr.r_ret"),
-                                   r"^(?:System\.Threading\.Tasks\.)?"
-                                   r"(?:Task|ValueTask)<(.+)>$", 1))
-                        .otherwise(F.col("_minr.r_ret")).alias("r_ret"))
-                .filter(F.col("r_ret") != ""))
-        # keyword/BCL return types: the chained target is a metadata member
-        # whose key dangles either way -> no edge (MergeRelationships.cypher:1-5)
-        h_ok = h_ok.filter(~F.array_contains(kw, F.col("r_ret"))
-                           & ~F.col("r_ret").startswith("System.")
-                           & ~F.col("r_ret").isin(*EXTERNAL_TYPE_DISPLAY.keys()))
-        resolved_ret = _resolve_types(
-            h_ok.join(musings, ["repo", "mid"])
-            .select("repo", "mid", F.col("r_ret").alias("resolve_tok"),
-                    "m_usings"),
-            types, salt, global_ns)
-        stepped = (resolved_ret.select("repo", "mid", "t_display")
-                   .join(pending.select(
-                       "repo", "mid",
-                       F.expr("slice(hops, 2, greatest(size(hops) - 1, 0))")
-                       .alias("hops")), ["repo", "mid"]))
+                        F.when(F.col("h_await"), F.col("_minr.await_display"))
+                        .otherwise(F.col("_minr.ret_display"))
+                        .alias("t_display"))
+                .filter(F.col("t_display").isNotNull()))
+        stepped = _p(h_ok.join(pending.select(
+            "repo", "mid",
+            F.expr("slice(hops, 2, greatest(size(hops) - 1, 0))")
+            .alias("hops")), ["repo", "mid"]))
         fin = (stepped.filter(F.size("hops") == 0)
                .select("repo", "mid", "t_display"))
         done = fin if done is None else done.unionByName(fin)
@@ -516,8 +593,23 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # file's `using static T;` types — the directive names the FULLY
     # QUALIFIED type, so the import display joins the member dictionary
     # directly (no namespace resolution); lrank = import order breaks the
-    # (out-of-subset) two-import tie deterministically
+    # (out-of-subset) two-import tie deterministically. INHERITED members
+    # outrank the imports entirely: C# simple-name lookup stops at the
+    # first enclosing-type-or-base scope that declares the NAME (even when
+    # no overload there is applicable — that's an error, not a fallback),
+    # so mentions whose own type inherits a member of that name drop here
+    # (the extraction already excluded OWN members; m_recv carries the own
+    # display for this check). The anti-join side is the depth>=1 slice of
+    # the bounded member dictionary.
+    inherited_names = (members.filter(F.col("depth") >= 1)
+                       .select("mm_repo", "type_display", "lookup_name")
+                       .distinct())
     us_cand = (dim.filter(kind == "invoke_ustatic")
+               .join(inherited_names,
+                     on=[F.col("repo") == F.col("mm_repo"),
+                         F.col("m_recv") == F.col("type_display"),
+                         F.col("m_name") == F.col("lookup_name")],
+                     how="left_anti")
                .select("repo", "mid", "m_nargs",
                        norm_args.alias("norm_args"),
                        F.posexplode(F.split(F.col("m_head"), US))
@@ -559,6 +651,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         .agg(F.min("_rank").alias("_r0"),
              F.expr("min_by(member_key, struct(_rank, member_key))")
              .alias("member_key"),
+             F.expr("min_by(is_generic, struct(_rank, member_key))")
+             .alias("_isgen"),
              # largest member_key AT the minimal rank: differs from
              # member_key iff the winning rank is tied between >=2 members
              F.expr("max_by(member_key, struct(-_rank, member_key))")
@@ -566,6 +660,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
              F.max(F.coalesce(F.col("norm_args").contains("?"), F.lit(False)))
              .alias("_unk"))
     )
+    ranked = _p(ranked)
     # arity-rank (rank 1 -> _rank 100..121) ties with unclassified args have
     # no principled winner: Roslyn would bind via conversions the lexer
     # cannot see, or report ambiguity — either way, guessing is wrong => no
@@ -574,8 +669,15 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # (m_args null) keep the deterministic min-key pick.
     ambiguous = (F.col("_unk") & (F.col("_r0") >= 100)
                  & (F.col("member_key") != F.col("_maxk")))
+    # generic-method winners bind but emit NO edge: the reference keys the
+    # edge off the CONSTRUCTED symbol's display (Echo<string>(string) /
+    # Echo<int>(int) — SymbolMapper.BuildStableSymbolKey has no
+    # .OriginalDefinition), which matches no declared node and drops at
+    # MergeRelationships (MATCH, not MERGE). The win still counts for
+    # lookup: it keeps the call out of the extension-method fallback below,
+    # exactly like Roslyn's successful instance binding.
     member_edges = _as_edge(
-        ranked.filter(~ambiguous)
+        ranked.filter(~ambiguous).filter(~F.col("_isgen"))
         .select("repo", "mid", "member_key")
         .join(dim.select("repo", "mid", "m_from_key", "m_rel"),
               ["repo", "mid"]),

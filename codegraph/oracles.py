@@ -677,10 +677,11 @@ calls AS (
   SELECT repo, path, cur_method, type_display, NULL, 'Tag(string)'
   FROM body WHERE regexp_matches(line, '^        Tag\\("y"\\);$')
   UNION ALL
-  -- generic method call: T inferred at the site, binds by arity to Echo<T>(T)
-  SELECT repo, path, cur_method, type_display, NULL, 'Echo<T>(T)'
-  FROM body WHERE regexp_matches(line, '^        Echo\\(5\\);$')
-  UNION ALL
+  -- generic method calls (Echo(5), Echo<string>("w")) are deliberately NOT
+  -- enumerated: Roslyn binds the CONSTRUCTED method (Echo<int>(int)) and
+  -- the reference's edge key displays it without .OriginalDefinition
+  -- (SymbolMapper.BuildStableSymbolKey), so the key matches no declared
+  -- node and the edge drops at MergeRelationships (MATCH, not MERGE)
   -- same-arity overload resolved by literal token; the sibling line
   -- Pick(Count + 1); is deliberately NOT enumerated: an unclassifiable argument
   -- tying Pick(int)/Pick(string) is an ambiguity => NO edge
@@ -725,6 +726,26 @@ calls AS (
   UNION ALL
   SELECT repo, path, cur_method, type_display, NULL, 'Run()'
   FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- three-level own chain Self().Self().Self().Run(): the Self edges
+  -- collapse; Run binds through THREE retsig hops
+  SELECT repo, path, cur_method, type_display, NULL, 'Self()'
+  FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Self\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Run()'
+  FROM body WHERE regexp_matches(line, '^        Self\\(\\)\\.Self\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- mixed call/property 3-hop chain _dep.Self().Self().Item.Run(): the
+  -- head Self binds on the dep; Run binds on the dep's Item property type
+  -- (the GRAND-dep) after two call hops + one property hop. The Item READ
+  -- itself adds no INVOKES (property access is not an invocation).
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Self()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Self\\(\\)\\.Self\\(\\)\\.Item\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, g.itype, 'Run()'
+  FROM body b JOIN gitem g ON b.repo = g.repo AND b.path = g.path
+  WHERE regexp_matches(b.line, '^        _dep\\.Self\\(\\)\\.Self\\(\\)\\.Item\\.Run\\(\\);$')
   UNION ALL
   -- cross-type var-bound local (`var t = _dep.Self(); t.Run()`): both
   -- edges land on the dep type
@@ -788,11 +809,9 @@ calls AS (
          regexp_extract(line, '^        Batch\\(\\((\\w+) d\\)', 1), 'Run()'
   FROM body WHERE regexp_matches(line, '^        Batch\\(\\(\\w+ d\\) => d\\.Run\\(\\)\\);$')
   UNION ALL
-  -- constrained generic method call: bare-name lookup, arity match, the
-  -- display ignores the constraint clause
-  SELECT repo, path, cur_method, type_display, NULL, 'Clamp<T>(T)'
-  FROM body WHERE regexp_matches(line, '^        Clamp\\(9\\);$')
-  UNION ALL
+  -- (constrained generic method call Clamp(9): NOT enumerated — like every
+  -- generic call site, Roslyn binds the CONSTRUCTED Clamp<int>(int) whose
+  -- display key matches no declared node -> no edge at MergeRelationships)
   -- extension-method call _dep.Boost(5): no instance member named Boost on
   -- the receiver -> binds to the static Fluent method; the display keeps
   -- the receiver type as the first parameter token
@@ -817,10 +836,6 @@ calls AS (
   SELECT b.repo, b.path, b.cur_method, b.type_display, e.etype, 'Get(int)'
   FROM body b JOIN efields e ON b.repo = e.repo AND b.path = e.path
   WHERE regexp_matches(b.line, '^        var picked = from e in _items where e\\.Count > 0 select e\\.Get\\(4\\);$')
-  UNION ALL
-  -- explicit type-argument call binds the generic DEFINITION Echo<T>(T)
-  SELECT repo, path, cur_method, type_display, NULL, 'Echo<T>(T)'
-  FROM body WHERE regexp_matches(line, '^        Echo<string>\\("w"\\);$')
   UNION ALL
   -- awaited own-type head call keeps its own edge: var got = await FetchAsync();
   SELECT repo, path, cur_method, type_display, NULL, 'FetchAsync()'

@@ -358,7 +358,8 @@ def run_pipeline(
     # --- entity linking (J1/F9) --------------------------------------------
     rels = records.filter(F.col("rec") == "rel").select(
         "repo", "src_key", "dst_key", "rel_type")
-    resolved = link.resolve_mentions(records, symbols, salt=salt)
+    resolved = link.resolve_mentions(records, symbols, salt=salt,
+                                     persist=persist)
     candidate_edges = rels.unionByName(
         resolved.select("repo", "src_key", "dst_key", "rel_type"))
     linked = link.link_edges(candidate_edges, symbols)

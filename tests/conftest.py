@@ -7,7 +7,13 @@ import pytest
 def spark():
     from codegraph.session import get_spark
 
-    s = get_spark(app_name="codegraph-tests", cores=4, shuffle_partitions=4)
+    s = get_spark(app_name="codegraph-tests", cores=4, shuffle_partitions=4,
+                  # AQE off for TESTS only: its per-stage re-optimization
+                  # adds ~10 s to every tiny-fixture pipeline run while
+                  # contributing nothing at test scale (4 partitions, KB
+                  # inputs). bench.py / production sessions keep it on —
+                  # skew-join splitting matters there.
+                  extra_conf={"spark.sql.adaptive.enabled": "false"})
     yield s
 
 

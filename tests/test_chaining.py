@@ -8,7 +8,13 @@ time: a retsig dictionary carries member return tokens; an extsig
 dictionary carries ``this``-parameter targets.
 """
 
+import pytest
+
 from codegraph import pipeline
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _src(spark, files):
@@ -411,10 +417,11 @@ public class Caller
     assert (local, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
 
 
-def test_three_hop_chain_drops(spark):
-    """a.B().C().D().E() is beyond the two-hop subset: E drops (the
-    reference binds arbitrary depth through Roslyn; the replica documents
-    the bound — a dangling outcome, not a wrong edge)."""
+def test_three_hop_chain_binds_and_five_call_chain_drops(spark):
+    """a.B().C().D().E() (three hops) binds end-to-end; a FIVE-call chain's
+    final member is beyond the lexer subset (_RE_CHAIN4 caps at four calls)
+    and drops — a dangling outcome, not a wrong edge (the reference binds
+    arbitrary depth through Roslyn, MemberDependencyExtractor.cs:77-182)."""
     target = TARGET.replace(
         "    public void Ping()",
         "    public Target Again()\n    {\n        return this;\n    }\n"
@@ -431,6 +438,10 @@ public class Caller
     {
         _dep.Make().Again().Again().Ping();
     }
+    public void Far()
+    {
+        _dep.Make().Again().Again().Again().Ping();
+    }
 }
 """
     edges = _edges(spark, [
@@ -439,10 +450,15 @@ public class Caller
         ("src/App/Caller.cs", caller),
     ])
     src = "r1:App.Caller.Go()"
-    # hops 0-2 bind; the fourth member is out of the subset -> no edge
+    # all four members of the 3-hop chain bind
     assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
     assert (src, "src__INVOKES", "r1:Lib.Target.Again()") in edges
-    assert not any(d.endswith("Ping()") for s, _r, d in edges if s == src)
+    assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+    # the 5-call chain binds its first four members; the fifth drops
+    far = "r1:App.Caller.Far()"
+    assert (far, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (far, "src__INVOKES", "r1:Lib.Target.Again()") in edges
+    assert not any(d.endswith("Ping()") for s, _r, d in edges if s == far)
 
 
 def test_static_type_receiver_chain(spark):

@@ -1,7 +1,13 @@
 """Checkpoint-resume: a killed run restarts at the last completed stage and
 produces identical tables (BASELINE.json north_star resumability)."""
 
+import pytest
+
 import os
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def test_resume_skips_completed_stages(spark, tiny_source, tmp_path):

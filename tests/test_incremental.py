@@ -1,6 +1,12 @@
 """Incremental / deletion / purge semantics (F3, F4, J11, J12)."""
 
+import pytest
+
 from pyspark.sql import functions as F
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def test_mark_deleted_cascades(spark, tiny_result):

@@ -9,9 +9,15 @@
   edge) instead of guessing lexicographically.
 """
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from codegraph import pipeline
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _src(spark, files):

@@ -10,8 +10,14 @@ sources (``List<T>``/``IEnumerable<T>``/``T[]``) and strips call-site
 type-argument lists before the bare-name + arity link lookup.
 """
 
+import pytest
+
 from codegraph import pipeline
 from codegraph.extract.csharp import _elem_type
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _src(spark, files):

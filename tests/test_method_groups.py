@@ -9,7 +9,13 @@ non-method symbol -> nothing. AssignmentExpressionSyntax right-hand sides
 are implicit-conversion candidates like initializers/arguments/returns.
 """
 
+import pytest
+
 from codegraph import pipeline
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _src(spark, files):

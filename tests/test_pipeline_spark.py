@@ -1,8 +1,14 @@
 """End-to-end pipeline invariants (SURVEY §1.4, FIXTURES §4)."""
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def test_discovery_excludes_decoys(spark, tiny_source):

@@ -10,8 +10,14 @@ analogue of retsig), marks awaited hops with ``@`` so the link step unwraps
 the collection token's value/element argument.
 """
 
+import pytest
+
 from codegraph import pipeline
 from codegraph.extract.csharp import _index_elem_type
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def _src(spark, files):

@@ -1,6 +1,12 @@
 """Re-index idempotency: delete-prior-symbols + upsert (J11)."""
 
+import pytest
+
 from pyspark.sql import functions as F
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def test_strip_tfm():

@@ -1,8 +1,14 @@
 """Structured-Streaming incremental indexing (foreachBatch + checkpoint)."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
+
+# full-pipeline Spark e2e: minutes per test at tiny scale (fixed plan/stage
+# overhead) - excluded from the fast subset via pytest -m "not slow"
+pytestmark = pytest.mark.slow
 
 
 def test_stream_ingest_two_batches(spark, tmp_path):
