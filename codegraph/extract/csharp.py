@@ -5,7 +5,14 @@ MemberDependencyExtractor + SymbolMapper
 (/root/reference/src/CodeToNeo4j/Technologies/DotNet/CSharp/*.cs,
  Graph/Mapping/SymbolMapper.cs) over a documented C# subset:
 
-* one file-scoped (or block) namespace per file; nested types one level deep
+* file-scoped (``namespace X;``) and block (``namespace X { ... }``)
+  namespace declarations, INCLUDING several per file — each type takes the
+  namespace active at its declaration (Roslyn ContainingNamespace,
+  SymbolMapper.cs:19-21), member rows carry the FIRST type's namespace
+  (fileNamespace, CSharpHandler.cs:36-42), and candidate-namespace lists
+  are per type ([own ns] + file usings); block bodies sit at column 0 in
+  the subset (legal C#) so member shapes stay line-anchored. Nested blocks
+  compose (``X.Y``); nested types one level deep
   (DescendantNodes visits them as their own BaseTypeDeclarationSyntax AND as
   a member of the outer type -> CONTAINS outer->nested,
   RoslynSymbolProcessor.cs:103-113,288); generic type AND method
@@ -427,7 +434,11 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
     global_usings: list[str] = []
     static_usings: list[str] = []
 
-    # --- pass 1: usings + namespace --------------------------------------
+    # --- pass 1: usings ----------------------------------------------------
+    # (namespace declarations are tracked in pass 2: a file may declare a
+    # file-scoped namespace OR one-or-more BLOCK namespaces — Roslyn takes
+    # any shape, CSharpHandler.cs:36-42 — so the active namespace is
+    # positional state, not a file constant)
     for ln in lines:
         m = _RE_USING.match(ln)
         if m:
@@ -443,16 +454,18 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 usings.append(m.group(3))
                 if m.group("glob"):
                     global_usings.append(m.group(3))
-            continue
-        m = _RE_NAMESPACE.match(ln)
-        if m:
-            file_ns = m.group(1)
 
     # --- pass 2: types, members, bodies ----------------------------------
     doc_buf: list[str] = []
     com_buf: list[str] = []
     types: list[_Type] = []
     tstack: list[_Type] = []
+    # namespace state: a file-scoped decl (`namespace X;`) applies from its
+    # line to EOF (or the next decl); a block decl (`namespace X {`) applies
+    # until its brace closes and composes with an enclosing block (X.Y).
+    # Roslyn resolves each type's ContainingNamespace positionally
+    # (SymbolMapper.cs:19-21); the stack reproduces that for the subset.
+    ns_stack: list[tuple[str, int]] = []  # (composed ns, depth after open)
     depth = 0
     i = 0
     pending_member = None  # (member dict) awaiting body lines
@@ -501,6 +514,24 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             i += 1
             continue
 
+        mns = _RE_NAMESPACE.match(raw) if not tstack else None
+        if mns:
+            nsname = mns.group(1)
+            outer = ns_stack[-1][0] + "." if ns_stack else ""
+            if raw.rstrip().endswith(";"):
+                file_ns = outer + nsname  # file-scoped: applies to EOF
+            else:
+                # block-scoped: consume up to the opening brace (same line
+                # or a following one), then scope the name to that block
+                depth += opens - closes
+                while "{" not in raw and i + 1 < n:
+                    i += 1
+                    raw = lines[i]
+                    depth += raw.count("{") - raw.count("}")
+                ns_stack.append((outer + nsname, depth))
+            i += 1
+            continue
+
         # generic constraint clauses never reach a Roslyn display — strip
         # them from the declaration line before shape-matching
         raw_decl = _RE_WHERE.sub("", raw) if " where " in raw else raw
@@ -511,8 +542,9 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             acc = _acc_name(mt.group("acc"), "Internal" if not tstack else "Private")
             parent = tstack[-1] if tstack else None
             name_tok = mt.group("name") + (mt.group("targs") or "")
+            active_ns = ns_stack[-1][0] if ns_stack else (file_ns or "")
             t = _Type(mt.group("name"), name_tok, mt.group("tkind"),
-                      file_ns or "", acc, lineno, doc, com, repo, parent)
+                      active_ns, acc, lineno, doc, com, repo, parent)
             # declared base list (class X : Base, IFoo): tokens feed the
             # link-time inherited-member expansion (Roslyn binds calls on a
             # derived type to the BASE's declaring member symbol); C# base
@@ -683,6 +715,8 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
 
         # outside any type
         depth += opens - closes
+        while ns_stack and depth < ns_stack[-1][1]:
+            ns_stack.pop()  # block namespace closed
         if stripped and not stripped.startswith(("using", "namespace")):
             flush_trivia()
         i += 1
@@ -703,7 +737,6 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
     em.filemeta(first_type_ns)
 
     member_ns = first_type_ns  # SymbolMapper: members get fileNamespace
-    cand_ns = ([file_ns] if file_ns else []) + usings
 
     # using-directive dependencies (RoslynSymbolProcessor.cs:47-65):
     # resolved via the namespace dictionary at link time; in-repo namespaces
@@ -722,6 +755,11 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
     for t in types:
         if not _passes(t.acc, min_acc):
             continue
+        # candidate namespaces are PER TYPE: bare names resolve in the
+        # type's OWN containing namespace first, then the file's usings
+        # (Roslyn simple-name lookup; with multiple namespaces per file the
+        # own-namespace head differs between types)
+        cand_ns = ([t.ns] if t.ns else []) + usings
         em.symbol(t.key, t.name, "NamedType", t.name, f"global::{t.display}",
                   t.acc, t.ns or None, t.start, t.end, t.doc, t.comments)
         if t.parent is not None:

@@ -18,14 +18,16 @@ repo, and content rendering is a deterministic function of the file spec.
 This allows distributed generation (one task per repo) with bit-identical
 output at any parallelism.
 
-The C# content is restricted to a documented subset (single file-scoped
-namespace, one ctor max per type, member shapes from a fixed menu — now
-including arity AND same-arity overload pairs, user-defined operators and
-conversions, nested types, multi-declarator fields, generic methods,
-expression-bodied properties, cross-file ``partial class`` pairs, and an
-unclassifiable-argument overload call that must resolve to NO edge) so that
-the regex lexer in ``extract/csharp.py`` and the DuckDB SQL oracles resolve
-it exactly like Roslyn would.
+The C# content is restricted to a documented subset (file-scoped namespace
+per generated class file plus one per-repo MIXED file with two block
+namespaces, one ctor max per type, member shapes from a fixed menu — now
+including arity AND same-arity overload pairs, implicit-numeric-widening
+overload sets, user-defined operators and conversions, nested types,
+multi-declarator fields, generic methods, expression-bodied properties,
+cross-file ``partial class`` pairs, and an unclassifiable-argument overload
+call that must resolve to NO edge) so that the regex lexer in
+``extract/csharp.py`` and the DuckDB SQL oracles resolve it exactly like
+Roslyn would.
 """
 
 from __future__ import annotations
@@ -215,6 +217,10 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
             # optional parameter: Log(1) fills w from its default; both call
             # arities bind the SAME symbol Log(int, int)
             "has_default": rng.random() < 0.25,
+            # same-arity overloads tied only through the implicit numeric
+            # widening chain: Blend(1) binds Blend(long) over Blend(double)
+            # (C# betterness: the nearer widening target wins)
+            "has_widen": rng.random() < 0.25,
         })
     # chunk classes into files FIRST (all classes in a file share the
     # file-scoped namespace), then resolve dep namespaces against the
@@ -288,6 +294,13 @@ def repo_model(repo_idx: int, files_per_repo: int, seed: int = SEED,
                   "path": f"src/{app_ns}/{pmod}/Blended.Part1.cs", "ns": box_ns})
     files.append({"kind": "csharp_partial2", "lang": "csharp",
                   "path": f"src/{app_ns}/{pmod}/Blended.Part2.cs", "ns": box_ns})
+    # mixed-namespace file: TWO block-scoped namespaces in one .cs file —
+    # Roslyn takes any shape (CSharpHandler.cs:36-42); each type gets its
+    # OWN ContainingNamespace, the file metadata the FIRST type's
+    files.append({"kind": "csharp_mixedns", "lang": "csharp",
+                  "path": f"src/{app_ns}/{pmod}/MixedNs.cs",
+                  "ns": namespaces[2 % len(namespaces)],
+                  "ns2": namespaces[3 % len(namespaces)]})
 
     npm = rng.sample(NPM_PKGS, k=rng.randint(2, 4))
     nuget = rng.sample(NUGET_PKGS, k=rng.randint(2, 3))
@@ -793,6 +806,26 @@ def _render_one_class(c: dict) -> list:
         lines.append("        Log(1);")
         lines.append("        Log(2, 3);")
         lines.append("    }")
+    if c.get("has_widen"):
+        # implicit-numeric-widening overloads: the int literal reaches
+        # Blend(long) at widening distance 1, Blend(double) at 2,
+        # Blend(string) not at all -> Roslyn's betterness binds Blend(long)
+        lines.append("    public int Blend(long v)")
+        lines.append("    {")
+        lines.append("        return 1;")
+        lines.append("    }")
+        lines.append("    public int Blend(double v)")
+        lines.append("    {")
+        lines.append("        return 2;")
+        lines.append("    }")
+        lines.append("    public int Blend(string v)")
+        lines.append("    {")
+        lines.append("        return 3;")
+        lines.append("    }")
+        lines.append("    public void Mix()")
+        lines.append("    {")
+        lines.append("        Blend(1);")
+        lines.append("    }")
     if c.get("has_usingstatic"):
         # bare simple-name call with NO own member of that name: binds the
         # static Util.Snap(int) through the file's using-static import
@@ -1177,6 +1210,41 @@ public partial class Blended
 """
 
 
+def _render_csharp_mixedns(spec: dict) -> str:
+    # two BLOCK namespaces in one file (types at column 0 — legal C#, and
+    # it keeps the line-anchored lexer/oracle regexes uniform): NorthGate's
+    # ContainingNamespace is ns, SouthGate's is ns2, the file metadata (and
+    # every MEMBER row's namespace) is the FIRST type's ns
+    # (CSharpHandler.cs:36-42, SymbolMapper.cs:19-21)
+    return f"""using System;
+using {spec["ns"]};
+
+namespace {spec["ns"]}
+{{
+public class NorthGate
+{{
+    public int Tally {{ get; set; }}
+    public void Run()
+    {{
+        Console.WriteLine(Tally);
+    }}
+}}
+}}
+
+namespace {spec["ns2"]}
+{{
+public class SouthGate
+{{
+    private readonly NorthGate _dep;
+    public void Go()
+    {{
+        _dep.Run();
+    }}
+}}
+}}
+"""
+
+
 def _render_decoy(spec: dict) -> str:
     return "// excluded decoy\n" if spec["kind"] != "decoy_txt" else "plain text\n"
 
@@ -1189,6 +1257,7 @@ _RENDERERS = {
     "csharp_util": _render_csharp_util,
     "csharp_partial1": _render_csharp_partial1,
     "csharp_partial2": _render_csharp_partial2,
+    "csharp_mixedns": _render_csharp_mixedns,
     "csproj": _render_csproj,
     "packagejson": _render_packagejson,
     "packagejson_noname": _render_packagejson_noname,

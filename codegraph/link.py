@@ -637,15 +637,38 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
         .when((F.col("m_nargs") >= F.col("min_nparams"))
               & (F.col("m_nargs") < F.col("nparams")), F.lit(2))
         .otherwise(F.lit(99)))
-    # rank folds (overload-rank, inheritance depth, lookup order): an own
-    # member at arity rank still beats a base member at param-exact rank?
-    # No — Roslyn checks applicability per declaring scope from the most
-    # derived type outward, but hiding only kicks in for the SAME signature
-    # shape; the fold below prefers better overload rank first, then the
-    # shallower declaration, matching the subset's hiding shapes
+    # implicit-numeric-widening tie-break inside arity rank: Roslyn's
+    # betterness rules prefer the NEAREST target on the widening chain
+    # int -> long -> double (C# 7.4.6.2: long beats double for an int
+    # argument because long -> double converts implicitly and not back).
+    # Per zipped (arg, param) pair: 0 exact, 1/2 = chain distance, null =
+    # outside the chain (user types with conversion operators, strings,
+    # '?' unknowns — the lexer cannot rank those, so they keep the old
+    # neutral tie behavior via the WPEN_NEUTRAL penalty and, for '?', the
+    # ambiguity drop below).
+    wdist = F.expr(
+        "CASE WHEN m_nargs IS NULL OR norm_args IS NULL OR nparams != m_nargs"
+        " THEN NULL ELSE aggregate("
+        "  zip_with(split(norm_args, ', '), split(params, ', '),"
+        "    (a, p) -> CASE WHEN a = p THEN 0"
+        "                   WHEN a = 'int' AND p = 'long' THEN 1"
+        "                   WHEN a = 'int' AND p = 'double' THEN 2"
+        "                   WHEN a = 'long' AND p = 'double' THEN 1"
+        "                   ELSE NULL END),"
+        "  0, (acc, x) -> acc + x) END")  # null pair -> null sum (outside)
+    WPEN_NEUTRAL = 9
+    wpen = F.coalesce(wdist, F.lit(WPEN_NEUTRAL))
+    # rank folds (overload-rank, widening distance, inheritance depth,
+    # lookup order): an own member at arity rank still beats a base member
+    # at param-exact rank? No — Roslyn checks applicability per declaring
+    # scope from the most derived type outward, but hiding only kicks in
+    # for the SAME signature shape; the fold below prefers better overload
+    # rank first, then the nearer widening target, then the shallower
+    # declaration, matching the subset's hiding shapes
     joined = joined.withColumn(
-        "_rank", rank * 100 + F.col("depth") * 10 + F.col("lrank")) \
-        .filter(F.col("_rank") < 9900)
+        "_rank", rank * 1000 + wpen * 50 + F.col("depth") * 10
+        + F.col("lrank")) \
+        .filter(F.col("_rank") < 99000)
     ranked = (
         joined.groupBy("repo", "mid")
         .agg(F.min("_rank").alias("_r0"),
@@ -661,13 +684,13 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
              .alias("_unk"))
     )
     ranked = _p(ranked)
-    # arity-rank (rank 1 -> _rank 100..121) ties with unclassified args have
+    # arity-rank (rank 1 -> _rank 1000..1480) ties with unclassified args have
     # no principled winner: Roslyn would bind via conversions the lexer
     # cannot see, or report ambiguity — either way, guessing is wrong => no
     # edge. Cross-depth candidates are NOT ties (the depth term separates
     # them: the shallower declaration hides the base one). Method groups
     # (m_args null) keep the deterministic min-key pick.
-    ambiguous = (F.col("_unk") & (F.col("_r0") >= 100)
+    ambiguous = (F.col("_unk") & (F.col("_r0") >= 1000)
                  & (F.col("member_key") != F.col("_maxk")))
     # generic-method winners bind but emit NO edge: the reference keys the
     # edge off the CONSTRUCTED symbol's display (Echo<string>(string) /

@@ -33,17 +33,31 @@ DISC = f"""discovered AS (
          OR lower(string_split(path, '/')[-1]) IN ('package.json', 'pubspec.yaml'))
 )"""
 
-# exploded per-line view of C# files + their file-scoped namespace
+# exploded per-line view of C# files + the ACTIVE namespace per line: the
+# last `namespace X;` (file-scoped) or `namespace X` (block) declaration
+# above the line — Roslyn resolves each type's ContainingNamespace
+# positionally (SymbolMapper.cs:19-21), and the subset renders block bodies
+# at column 0 with sequential (non-nested) blocks, so last-decl-above
+# tracking is exact
 CS = """cs_files AS (
-  SELECT repo, path, content,
-         regexp_extract(content, 'namespace ([a-zA-Z0-9_.]+);', 1) AS ns
+  SELECT repo, path, content
   FROM discovered WHERE lower(path) LIKE '%.cs'
 ),
-cs_lines AS (
-  SELECT repo, path, ns,
+cs_lines0 AS (
+  SELECT repo, path,
          unnest(string_split(content, chr(10))) AS line,
          generate_subscripts(string_split(content, chr(10)), 1) AS ln
   FROM cs_files
+),
+cs_lines AS (
+  SELECT repo, path, line, ln,
+         coalesce(last_value(nullif(
+             regexp_extract(line, '^namespace ([a-zA-Z0-9_.]+)', 1), '')
+             IGNORE NULLS)
+           OVER (PARTITION BY repo, path ORDER BY ln
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           '') AS ns
+  FROM cs_lines0
 )"""
 
 # window-tracked current type + member census (the SQL twin of the lexer).
@@ -453,10 +467,13 @@ WHERE lower(path) LIKE '%.xml' AND lower(path) NOT LIKE '%.csproj'"""
 
 ORACLES["kg_tags"] = f"""WITH {DISC},
 ns AS (
+  -- EVERY namespace declaration in the file (file-scoped `namespace X;`
+  -- or block `namespace X`): each declared namespace contains symbols in
+  -- the subset, and tags accumulate from every flushed symbol's namespace
   SELECT DISTINCT repo,
-         regexp_extract(content, 'namespace ([a-zA-Z0-9_.]+);', 1) AS n
+         unnest(regexp_extract_all(content, 'namespace ([a-zA-Z0-9_.]+)', 1)) AS n
   FROM discovered WHERE lower(path) LIKE '%.cs'
-    AND regexp_matches(content, 'namespace [a-zA-Z0-9_.]+;')
+    AND regexp_matches(content, 'namespace [a-zA-Z0-9_.]+')
   UNION
   -- razor generated component types carry the @namespace (language csharp)
   SELECT DISTINCT repo, trim(regexp_extract(content, '@namespace ([^\\n]+)', 1))
@@ -687,6 +704,12 @@ calls AS (
   -- tying Pick(int)/Pick(string) is an ambiguity => NO edge
   SELECT repo, path, cur_method, type_display, NULL, 'Pick(int)'
   FROM body WHERE regexp_matches(line, '^        Pick\\(7\\);$')
+  UNION ALL
+  -- implicit-numeric-widening overload pick: Blend(1) binds Blend(long)
+  -- (int -> long distance 1 beats int -> double distance 2; string is not
+  -- reachable), per the C# betterness rules
+  SELECT repo, path, cur_method, type_display, NULL, 'Blend(long)'
+  FROM body WHERE regexp_matches(line, '^        Blend\\(1\\);$')
   UNION ALL
   -- cross-file partial: Cool() (part 2) calls Warm() declared in part 1;
   -- both parts share one merged type symbol
@@ -1303,9 +1326,9 @@ nsrc AS (
   -- namespaces (file-scoped, razor @namespace, xaml x:Class prefix) AND the
   -- text handlers' directory namespaces (dir_namespace, CssHandler.cs:28)
   SELECT DISTINCT repo,
-         regexp_extract(content, 'namespace ([a-zA-Z0-9_.]+);', 1) AS nsv
+         unnest(regexp_extract_all(content, 'namespace ([a-zA-Z0-9_.]+)', 1)) AS nsv
   FROM discovered WHERE lower(path) LIKE '%.cs'
-    AND regexp_matches(content, 'namespace [a-zA-Z0-9_.]+;')
+    AND regexp_matches(content, 'namespace [a-zA-Z0-9_.]+')
   UNION
   SELECT DISTINCT repo, trim(regexp_extract(content, '@namespace ([^\\n]+)', 1))
   FROM discovered WHERE lower(path) LIKE '%.razor'

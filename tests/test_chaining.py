@@ -519,3 +519,84 @@ public class Caller
     assert (src, "src__INVOKES", "r1:Mid.Maker.Run()") in edges
     assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
     assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges
+
+
+def test_inherited_member_wins_over_using_static(spark):
+    """C# simple-name lookup stops at the first enclosing-type-or-BASE scope
+    that declares the name — using-static imports are only consulted after
+    (even when the base overload set has no applicable member, that's an
+    error, not a fallback). A bare Snap(4) in a derived class whose BASE
+    declares Snap must bind the base member, not the imported static."""
+    util = """namespace Glob;
+
+public static class Util
+{
+    public static int Snap(int v)
+    {
+        return v;
+    }
+}
+"""
+    base = """namespace Lib;
+
+public class BaseThing
+{
+    public void Snap(int v)
+    {
+    }
+}
+"""
+    kid = """using Lib;
+using static Glob.Util;
+
+namespace App;
+
+public class Kid : BaseThing
+{
+    public void Trim()
+    {
+        Snap(4);
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Glob/Util.cs", util),
+        ("src/Lib/BaseThing.cs", base),
+        ("src/App/Kid.cs", kid),
+    ])
+    src = "r1:App.Kid.Trim()"
+    assert (src, "src__INVOKES", "r1:Lib.BaseThing.Snap(int)") in edges
+    assert (src, "src__INVOKES", "r1:Glob.Util.Snap(int)") not in edges
+
+
+def test_var_tracked_four_call_chain(spark):
+    """var x = a.B().C().D(); x.E() — the local carries THREE pending hops;
+    the later call consumes them plus its own lookup (four link rounds)."""
+    target = TARGET.replace(
+        "    public void Ping()",
+        "    public Target Again()\n    {\n        return this;\n    }\n"
+        "    public void Ping()")
+    caller = """using Lib;
+using Mid;
+
+namespace App;
+
+public class Caller
+{
+    private readonly Maker _dep;
+    public void Go()
+    {
+        var x = _dep.Make().Again().Again();
+        x.Ping();
+    }
+}
+"""
+    edges = _edges(spark, [
+        ("src/Lib/Target.cs", target),
+        ("src/Mid/Maker.cs", MAKER),
+        ("src/App/Caller.cs", caller),
+    ])
+    src = "r1:App.Caller.Go()"
+    assert (src, "src__INVOKES", "r1:Mid.Maker.Make()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Again()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Target.Ping()") in edges

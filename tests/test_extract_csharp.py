@@ -481,3 +481,65 @@ public class Holder
     picks = {m["m_args"] for m in mentions if m["m_name"] == "Pick"}
     # property arg classifies through its declared type; expression stays '?'
     assert picks == {"int", "?"}
+
+
+BLOCK_NS = """using System;
+
+namespace First.Area
+{
+public class Alpha
+{
+    public void Run()
+    {
+        Console.WriteLine(1);
+    }
+}
+}
+
+namespace Second.Zone
+{
+public class Beta
+{
+    private readonly Alpha _dep;
+    public void Go()
+    {
+        _dep.Run();
+    }
+}
+}
+"""
+
+
+def test_block_scoped_and_multiple_namespaces():
+    """Roslyn takes any namespace shape (CSharpHandler.cs:36-42): block
+    declarations scope their types; two blocks in one file give each type
+    its OWN ContainingNamespace (SymbolMapper.cs:19-21), while MEMBER rows
+    carry the FILE namespace = the first type's (RoslynSymbolProcessor
+    passes fileNamespace to every member record)."""
+    rows = _extract_one("r", "src/App/Mixed.cs", BLOCK_NS,
+                        ACC_ORDER["Private"], {}, {})
+    syms = _symbols(rows)
+    assert "r:First.Area.Alpha" in syms
+    assert syms["r:First.Area.Alpha"]["namespace"] == "First.Area"
+    assert "r:Second.Zone.Beta" in syms
+    assert syms["r:Second.Zone.Beta"]["namespace"] == "Second.Zone"
+    # member rows carry fileNamespace (the first type's namespace)
+    assert syms["r:Second.Zone.Beta.Go()"]["namespace"] == "First.Area"
+    # the file override is the first type's namespace
+    meta = [r for r in rows if r["rec"] == "filemeta"][0]
+    assert meta["file_namespace"] == "First.Area"
+    # Beta's _dep mention resolves Alpha with Beta's OWN namespace first —
+    # Alpha is NOT in scope (no using First.Area), so the invoke_via
+    # candidate list must not contain Second.Zone-only false positives;
+    # the candidate list is [own ns] + usings
+    m = [r for r in rows if r["rec"] == "mention"
+         and r["m_kind"] == "invoke_via" and r["m_name"] == "Run"][0]
+    assert m["m_usings"].split("\x1f")[0] == "Second.Zone"
+
+
+def test_file_scoped_namespace_after_block_composes_nothing():
+    """A later file-scoped declaration replaces the active namespace for
+    the remaining types (subset shape: sequential, not nested)."""
+    src = "namespace A;\npublic class X\n{\n}\n"
+    rows = _extract_one("r", "src/App/P.cs", src, ACC_ORDER["Private"], {}, {})
+    assert "r:A.X" in _symbols(rows)
