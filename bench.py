@@ -25,7 +25,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_kg_pipeline(spark, fixture_dir: str):
+def run_kg_pipeline(spark, fixture_dir: str, repo_limit: int | None = None):
     """Full pipeline with the extraction output STAGED to parquet — the
     shape a 100 TB run uses anyway (checkpoint batch). Parquet staging beats
     Spark's columnar-compressed memory cache here: one cheap write, and every
@@ -45,6 +45,19 @@ def run_kg_pipeline(spark, fixture_dir: str):
     cl = spark.read.parquet(os.path.join(fixture_dir, "commit_log.parquet"))
     ar = spark.read.parquet(os.path.join(fixture_dir, "assembly_refs.parquet"))
     pm = spark.read.parquet(os.path.join(fixture_dir, "pkg_metadata.parquet"))
+    if repo_limit is not None:
+        # half-corpus topology legs: a repo-prefix predicate pushes into the
+        # parquet scans (repo names are zero-padded, so `<` is a prefix
+        # filter), keeping the expensive JVM-per-executor legs affordable
+        # without a second fixture; the leg's own triple count keeps the
+        # throughput ratio internally consistent
+        from pyspark.sql import functions as F
+
+        from codegraph.gen import repo_name
+        cut = repo_name(repo_limit)
+        src = src.where(F.col("repo") < cut)
+        cl = cl.where(F.col("repo") < cut)
+        ar = ar.where(F.col("repo") < cut)
 
     tmp = tempfile.mkdtemp(prefix="codegraph_records_")
     phases = {}
@@ -288,8 +301,23 @@ def main():
             # the measured thread walls for the budget guard.
             topo_thr = {}
             topo_legs = 0
+            # HALF the corpus per topology leg: a JVM-per-executor leg costs
+            # ~1.5x its thread twin, and the full-corpus 2-core pair never
+            # fit the budget (r5: every topology leg skipped). The block
+            # compares topo-8 vs topo-2 on the SAME half corpus, so the
+            # ratio is internally consistent; ~0.85x the measured full-
+            # corpus thread wall prices it (0.5 corpus x 1.5 JVM overhead +
+            # fixed critical path)
+            topo_repos = n_repos // 2
+            topo_ctl = {}
             for n in (8, 2):
-                est = 1.5 * wall.get(n, (90.0 if n == 8 else 180.0))
+                # measured half-corpus walls (calibration, r6): topo-8
+                # ~300-350s vs thread-8 306s (x1.1), topo-2 ~445s vs
+                # thread-2 684s (x0.65 — the JVM-per-executor edge DAG is
+                # stage-latency-bound, so fewer cores cost less than
+                # thread mode's bandwidth ceiling)
+                est = (1.15 if n == 8 else 0.70) * wall.get(
+                    n, (90.0 if n == 8 else 180.0))
                 elapsed = time.time() - t_start
                 if elapsed + est > budget:
                     log(f"bench: budget guard: skipping topology leg [{n}]")
@@ -303,10 +331,20 @@ def main():
                             "-XX:ActiveProcessorCount=1",
                     })
                 try:
-                    t, (nn, ne, _ph) = timed(lambda: run_kg_pipeline(s, scale_dir))
+                    t, (nn, ne, _ph) = timed(
+                        lambda: run_kg_pipeline(s, scale_dir,
+                                                repo_limit=topo_repos))
                     topo_thr[n] = (nn + ne) / t
                     log(f"bench: topology local-cluster[{n},1] -> {t:.1f}s, "
                         f"{(nn + ne) / t:.0f} triples/s")
+                    # compute-bound control ACROSS SEPARATE JVMs: if it
+                    # scales ~0.9 here too, shared-heap GC/JIT artifacts
+                    # are ruled out and the thread-mode ceiling is the
+                    # host's memory subsystem (~20 s/leg)
+                    tc = run_cpu_control(s)
+                    topo_ctl[n] = 1.0 / tc
+                    log(f"bench: topology control local-cluster[{n},1] -> "
+                        f"{tc:.1f}s")
                 except Exception as ex:  # noqa: BLE001
                     # a topology leg must NEVER cost the bench record: the
                     # block is diagnostic evidence, the headline + thread
@@ -324,8 +362,13 @@ def main():
                               "thr_hi": round(topo_thr[8], 1),
                               "efficiency": topo_eff,
                               "topology": "local-cluster[N,1,6144] 5g APC=1",
+                              "corpus": f"{topo_repos}x640x{cpf}",
                               "legs_run": topo_legs}
-                log(f"bench: topology efficiency (2->8) {topo_eff}")
+                if 8 in topo_ctl and 2 in topo_ctl:
+                    topo_block["control_efficiency"] = round(
+                        (topo_ctl[8] / topo_ctl[2]) / 4.0, 3)
+                log(f"bench: topology efficiency (2->8) {topo_eff}, "
+                    f"control {topo_block.get('control_efficiency')}")
             elif topo_thr:
                 topo_block = {
                     "partial": True, "legs_run": topo_legs,

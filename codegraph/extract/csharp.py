@@ -318,6 +318,30 @@ _RE_CASE_PATTERN = re.compile(
 # object-creation with an initializer and no argument list `new X { .. }`:
 # Roslyn binds the parameterless constructor
 _RE_NEW_INIT = re.compile(r"\bnew\s+([\w.]+)\s*\{")
+# target-typed new as a local initializer: `Dep fresh = new(...);` — Roslyn
+# binds the DECLARED type's constructor (ImplicitObjectCreationExpression-
+# Syntax takes the target type from the declaration)
+_RE_NEWT = re.compile(r"^new\s*\((?P<a>[^)]*)\)")
+# EXPRESSION receivers of statically-known type: members chained off an
+# object creation (`new Dep().Run()`), a parenthesized cast
+# (`((Dep)o).Run()`), or a parenthesized same-typed ternary
+# (`(f ? a : b).Run()`). Roslyn binds through the receiver EXPRESSION's
+# type like any other receiver (MemberDependencyExtractor.cs:77-182); the
+# lexer subset covers these three shapes, whose type is syntactically
+# evident. Segment i binds through i retsig hops off the receiver type.
+_RE_SEG_TAIL = r"(?P<rest>(?:\s*\.\s*\w+\s*\([^)]*\))+)"
+_RE_NEW_RECV = re.compile(
+    r"\bnew\s+(?P<t>[\w.]+)\s*\((?P<a0>[^)]*)\)" + _RE_SEG_TAIL)
+# the leading lookbehind keeps both scans off ARGUMENT parens: in
+# `Foo((Dep)o).Bar()` the trailing member binds through Foo's return, not
+# the cast — a paren preceded by an identifier/`)`/`]` is a call, indexer,
+# or grouping tail, never the start of a receiver expression
+_RE_CAST_RECV = re.compile(
+    r"(?<![\w)\]])\(\(\s*(?P<t>[\w.]+)\??\s*\)\s*(?P<e>\w+)\s*\)" + _RE_SEG_TAIL)
+_RE_TERN_RECV = re.compile(
+    r"(?<![\w)\]])\(\s*[\w.!]+\s*\?\s*(?P<a>\w+)\s*:\s*(?P<b>\w+)\s*\)"
+    + _RE_SEG_TAIL)
+_RE_SEGS = re.compile(r"\.\s*(\w+)\s*\(([^)]*)\)")
 _RE_RET = re.compile(r"^\s*return\s+(?P<e>\w+)\s*;")
 _RE_IDENT = re.compile(r"^\w+$")
 
@@ -1015,6 +1039,27 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             return  # identity, no conversion
         mention_once(kind, target_tok, operand_type)
 
+    def emit_ctor(tok: str, argstr: str) -> None:
+        """Constructor INVOKES (BaseObjectCreationExpressionSyntax,
+        MemberDependencyExtractor.cs:106-113): shared by explicit
+        `new X(..)` sites and target-typed `X x = new(..)` sites —
+        Roslyn binds the same IMethodSymbol either way."""
+        nargs = _count_args(argstr)
+        args = [_classify_arg(a, locals_, t.fields, t.display)
+                for a in _split_args(argstr)]
+        k = ("new", tok, nargs, tuple(args))
+        if k in seen:
+            return
+        seen.add(k)
+        if tok in EXTERNAL_TYPE_DISPLAY or tok in KEYWORD_TYPES or tok.startswith("System."):
+            disp = EXTERNAL_TYPE_DISPLAY.get(tok, tok)
+            em.rel(caller_key,
+                   keys.csharp_key(repo, f"{disp}.{disp.split('.')[-1]}(…)"),
+                   R_INVOKES)
+        else:
+            em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns,
+                       nargs, m_args=args)
+
     # --- chain machinery ---------------------------------------------------
     # A chain binds its final member through a SEQUENCE of head-call return
     # types (retsig lookups applied iteratively at link time). Heads come
@@ -1084,11 +1129,21 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 mnew = _RE_NEW.match(rhs) or _RE_NEW_INIT.match(rhs)
                 inferred = mnew.group(1) if mnew else None
                 # the ctor INVOKES itself comes from the _RE_NEW scan below
+            elif declared and (mnt := _RE_NEWT.match(rhs)) is not None:
+                # target-typed new `Dep fresh = new(..);` — Roslyn binds the
+                # DECLARED type's ctor; the _RE_NEW scan cannot see the type
+                # token, so the ctor mention is emitted here
+                emit_ctor(declared, mnt.group("a"))
             elif _RE_CASTX.match(rhs):
                 mc = _RE_CASTX.match(rhs)
                 target, operand = mc.group("t"), mc.group("e")
                 op_type = type_of(operand) if _RE_IDENT.match(operand) and not operand.isdigit() else None
-                if not (_is_keywordish(target.rstrip("?")) and _is_keywordish(op_type)):
+                # an `object` operand never binds a user-defined conversion
+                # (C# forbids declaring one from/to object — the built-in
+                # reference conversion wins), same rule as the cast-receiver
+                # scan below
+                if op_type != "object" and not (
+                        _is_keywordish(target.rstrip("?")) and _is_keywordish(op_type)):
                     conv("conv_expl", target, op_type)
                 inferred = target.rstrip("?")
             elif _RE_BIN.match(rhs):
@@ -1206,6 +1261,10 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 rt = type_of(rhs)
                 if rt and not _is_keywordish(rt):
                     conv("conv_impl", declared, rt)
+            elif declared and (mnt := _RE_NEWT.match(rhs)) is not None:
+                # target-typed new at assignment position (`d = new(..);`):
+                # the target type is the assignee's declared type
+                emit_ctor(declared, mnt.group("a"))
             continue
         mr = _RE_RET.match(s)
         if mr and ret_tok and ret_tok != "void":
@@ -1256,21 +1315,58 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
 
     # --- invocation pass ----------------------------------------------------
     for m in _RE_NEW.finditer(text):
-        tok, argstr = m.group(1), m.group(2)
-        nargs = _count_args(argstr)
-        args = [_classify_arg(a, locals_, t.fields, t.display)
-                for a in _split_args(argstr)]
-        k = ("new", tok, nargs, tuple(args))
-        if k in seen:
-            continue
-        seen.add(k)
-        if tok in EXTERNAL_TYPE_DISPLAY or tok in KEYWORD_TYPES or tok.startswith("System."):
-            disp = EXTERNAL_TYPE_DISPLAY.get(tok, tok)
-            em.rel(caller_key, keys.csharp_key(repo, f"{disp}.{disp.split('.')[-1]}(…)"),
-                   R_INVOKES)
-        else:
-            em.mention("ctor", caller_key, R_INVOKES, tok, None, cand_ns, nargs,
-                       m_args=args)
+        emit_ctor(m.group(1), m.group(2))
+
+    # --- expression receivers of statically-known type ----------------------
+    def emit_recv_chain(base_tok: str | None, rest: str) -> None:
+        """Members chained off an EXPRESSION receiver whose type the lexer
+        knows syntactically (object creation, cast, same-typed ternary):
+        segment 0 binds directly on the receiver type; segment i binds
+        through i retsig hops, exactly like an identifier-rooted chain
+        (Roslyn binds the receiver expression's type,
+        MemberDependencyExtractor.cs:77-182)."""
+        if base_tok is None:
+            return
+        base_tok = base_tok.rstrip("?")
+        if _is_keywordish(base_tok):
+            return  # metadata receiver -> member keys dangle -> no edge
+        segs = _RE_SEGS.findall(rest)
+        for i, (nm, arg) in enumerate(segs):
+            if nm in _MODIFIER_WORDS:
+                return
+            if i == 0:
+                mention_once("invoke_via", nm, base_tok, _count_args(arg),
+                             [_classify_arg(a, locals_, t.fields, t.display)
+                              for a in _split_args(arg)])
+            else:
+                emit_chain(base_tok,
+                           tuple(hop_sig(n2, a2) for n2, a2 in segs[:i]),
+                           nm, arg)
+
+    for m in _RE_NEW_RECV.finditer(text):
+        # `new Dep(..).M()..` — the ctor edge comes from the _RE_NEW scan
+        emit_recv_chain(m.group("t"), m.group("rest"))
+    for m in _RE_CAST_RECV.finditer(text):
+        # `((Dep)o).M()..` — the cast is an explicit-conversion candidate
+        # (CastExpressionSyntax, :130-139); reference-type casts bind no
+        # conversion method, so that mention dangles unless a user-defined
+        # operator exists. An `object` operand NEVER binds a user-defined
+        # conversion: C# forbids declaring one from/to object (CS0553-
+        # family — a built-in reference conversion always exists), so
+        # `(Dep)o` is a pure downcast and Roslyn returns no method symbol.
+        tgt, operand = m.group("t"), m.group("e")
+        op_type = type_of(operand)
+        if op_type != "object" and not (
+                _is_keywordish(tgt.rstrip("?")) and _is_keywordish(op_type)):
+            conv("conv_expl", tgt, op_type)
+        emit_recv_chain(tgt, m.group("rest"))
+    for m in _RE_TERN_RECV.finditer(text):
+        # `(f ? a : b).M()..` — same-typed operands give the conditional
+        # its type (best common type); differing types are out of the
+        # lexer subset -> no mention -> no edge
+        ta, tb = type_of(m.group("a")), type_of(m.group("b"))
+        if ta is not None and ta == tb:
+            emit_recv_chain(ta, m.group("rest"))
 
     for rx, n_heads in ((_RE_CHAIN, 1), (_RE_CHAIN3, 2), (_RE_CHAIN4, 3)):
         # chained members: `recv.M1(a1).M2(a2)[.M3(a3)]` — M1's INVOKES

@@ -712,6 +712,38 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append("        Clamp(9);")
         lines.append("    }")
+    if dep and c["dep_ctor_zero_args"]:
+        # target-typed new: `Dep fresh = new();` binds the DECLARED type's
+        # parameterless ctor (ImplicitObjectCreationExpressionSyntax); the
+        # local is declared-typed, so fresh.Run() binds like a field call
+        lines.append("    public void Forge()")
+        lines.append("    {")
+        lines.append(f"        {dep} fresh = new();")
+        lines.append("        fresh.Run();")
+        lines.append("    }")
+        # parenthesized same-typed ternary receiver: best common type is
+        # the dep class, so Run binds there (the two identical creations
+        # collapse to ONE ctor edge under per-callee dedup)
+        lines.append("    public void Either(bool flag)")
+        lines.append("    {")
+        lines.append(f"        var a = new {dep}();")
+        lines.append(f"        var b = new {dep}();")
+        lines.append("        (flag ? a : b).Run();")
+        lines.append("    }")
+        if c.get("dep_has_chain"):
+            # object-creation receiver chain: Self binds directly on the
+            # created type, Run through Self's return (one retsig hop)
+            lines.append("    public void Mint()")
+            lines.append("    {")
+            lines.append(f"        new {dep}().Self().Run();")
+            lines.append("    }")
+    if dep:
+        # parenthesized-cast receiver: Run binds on the CAST type (the
+        # cast itself is a reference conversion -> no conversion method)
+        lines.append("    public void Shape(object o)")
+        lines.append("    {")
+        lines.append(f"        (({dep})o).Run();")
+        lines.append("    }")
     if c.get("has_extcall") and dep:
         # receiver-typed extension call: Boost is declared on the repo's
         # static Fluent class with `this {class0}` — no instance member

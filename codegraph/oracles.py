@@ -816,6 +816,49 @@ calls AS (
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        _dep\\?\\.Self\\(\\)\\.Run\\(\\);$')
   UNION ALL
+  -- target-typed new `Dep fresh = new();`: Roslyn binds the DECLARED
+  -- type's parameterless ctor (ImplicitObjectCreationExpressionSyntax);
+  -- the declared-typed local then binds Run like a field receiver
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, f.ftype || '()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        \\w+ fresh = new\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        fresh\\.Run\\(\\);$')
+  UNION ALL
+  -- parenthesized same-typed ternary receiver (flag ? a : b).Run(): the
+  -- conditional's best common type is the dep class; the two identical
+  -- creations collapse to ONE ctor edge (per-callee dedup, seenCallees)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, f.ftype || '()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        var a = new \\w+\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        \\(flag \\? a : b\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- object-creation receiver chain new Dep().Self().Run(): the ctor edge,
+  -- Self directly on the created type, Run through Self's return
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, f.ftype || '()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        new \\w+\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Self()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        new \\w+\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        new \\w+\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- parenthesized-cast receiver ((Dep)o).Run(): Run binds on the CAST
+  -- type; the cast itself is a reference conversion -> no conversion
+  -- method symbol -> no additional edge
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        \\(\\(\\w+\\)o\\)\\.Run\\(\\);$')
+  UNION ALL
   -- statement lambda assigned to a local: the body call attributes to the
   -- enclosing method (Roslyn walks lambda bodies as part of the member);
   -- the later go() invocation targets Delegate.Invoke -> dangles
