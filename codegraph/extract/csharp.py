@@ -315,6 +315,20 @@ _RE_IS_PATTERN = re.compile(r"\bis\s+(?P<t>[A-Z][\w.<>]*)\s+(?P<name>\w+)")
 # DeclarationPatternSyntax binds a local of the pattern type)
 _RE_CASE_PATTERN = re.compile(
     r"\bcase\s+(?P<t>[A-Z][\w.<>]*)\s+(?P<name>\w+)\s*:")
+# out-var call site `TryMake(out var d)`: d takes the OWN method's declared
+# out-parameter type (Roslyn: DeclarationExpressionSyntax in an out argument
+# binds a local of the parameter's type; cross-type receivers are out of
+# the lexer subset — the dep's signatures live in another file)
+_RE_OUT_VAR = re.compile(
+    r"(?<![\w.])(?P<name>\w+)\s*\((?P<args>[^()]*\bout\s+var\s+\w+[^()]*)\)")
+_RE_OUT_VAR_ARG = re.compile(r"^out\s+var\s+(?P<v>\w+)$")
+# control-flow keyword directly before a paren: the invocation scans would
+# otherwise consume `if (...)` as a pseudo-call whose [^)]* argument capture
+# swallows any REAL call inside the condition (`if (TryMake(out var d))`
+# lost TryMake's edge). The keyword is blanked, the paren kept, so inner
+# calls scan normally (Roslyn of course binds them, :77-104).
+_RE_CTRL_KW = re.compile(
+    r"(?<![\w.])(?:if|while|switch|foreach|for|lock|using)\s*\(")
 # object-creation with an initializer and no argument list `new X { .. }`:
 # Roslyn binds the parameterless constructor
 _RE_NEW_INIT = re.compile(r"\bnew\s+([\w.]+)\s*\{")
@@ -981,6 +995,8 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # `?.` digraph cannot occur in any other subset shape (nullable type
     # tokens are followed by whitespace, ternaries space their '?')
     text = text.replace("?.", ".")
+    # keep condition-internal calls scannable (see _RE_CTRL_KW)
+    text = _RE_CTRL_KW.sub(lambda m: " " * (len(m.group(0)) - 1) + "(", text)
 
     locals_: dict[str, str] = {pn: _strip_ref(ptok)
                                for ptok, pn in mrec.get("params", [])}
@@ -1015,6 +1031,21 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # switch-case declaration patterns narrow their variable the same way
     for pm in _RE_CASE_PATTERN.finditer(body):
         locals_.setdefault(pm.group("name"), pm.group("t"))
+    # out-var declarations: `TryMake(out var d)` types d from the OWN
+    # method's out parameter when every same-arity overload agrees on the
+    # token (Roslyn binds the declared type; an overload disagreement or a
+    # cross-type receiver leaves the local untyped -> its calls drop)
+    for om in _RE_OUT_VAR.finditer(body):
+        arg_list = [a.strip() for a in _split_args(om.group("args"))]
+        pos, var = next(
+            ((i, mv.group("v")) for i, a in enumerate(arg_list)
+             if (mv := _RE_OUT_VAR_ARG.match(a)) is not None), (None, None))
+        if pos is None:
+            continue
+        toks = {sig[pos] for sig in type_sigs.get(om.group("name"), [])
+                if len(sig) == len(arg_list) and sig[pos].startswith("out ")}
+        if len(toks) == 1:
+            locals_.setdefault(var, toks.pop()[4:])
     ret_tok = (mrec.get("ret") or "").rstrip("?") or None
 
     def type_of(ident: str) -> str | None:

@@ -744,6 +744,21 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append(f"        (({dep})o).Run();")
         lines.append("    }")
+        # out-var declaration: d takes TryMake's declared out-param type
+        # (Roslyn: DeclarationExpressionSyntax in an out argument binds a
+        # local of the parameter's type), so d.Run() binds on the dep
+        lines.append(f"    public bool TryMake(out {dep} made)")
+        lines.append("    {")
+        lines.append("        made = null;")
+        lines.append("        return true;")
+        lines.append("    }")
+        lines.append("    public void Scout()")
+        lines.append("    {")
+        lines.append("        if (TryMake(out var d))")
+        lines.append("        {")
+        lines.append("            d.Run();")
+        lines.append("        }")
+        lines.append("    }")
     if c.get("has_extcall") and dep:
         # receiver-typed extension call: Boost is declared on the repo's
         # static Fluent class with `this {class0}` — no instance member

@@ -854,10 +854,25 @@ calls AS (
   UNION ALL
   -- parenthesized-cast receiver ((Dep)o).Run(): Run binds on the CAST
   -- type; the cast itself is a reference conversion -> no conversion
-  -- method symbol -> no additional edge
+  -- method symbol -> no additional edge (and the dep's declared
+  -- `explicit operator Dep(int)` must NOT bind: C# forbids user-defined
+  -- conversions from/to object)
   SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        \\(\\(\\w+\\)o\\)\\.Run\\(\\);$')
+  UNION ALL
+  -- out-var call site if (TryMake(out var d)): the single same-name
+  -- member binds by arity; the display keeps the ref-kind keyword
+  SELECT b.repo, b.path, b.cur_method, b.type_display, NULL,
+         'TryMake(out ' || f.ftype || ')'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        if \\(TryMake\\(out var d\\)\\)$')
+  UNION ALL
+  -- the out-var local takes the out PARAMETER's declared type
+  -- (DeclarationExpressionSyntax): d.Run() binds on the dep
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^            d\\.Run\\(\\);$')
   UNION ALL
   -- statement lambda assigned to a local: the body call attributes to the
   -- enclosing method (Roslyn walks lambda bodies as part of the member);

@@ -144,6 +144,47 @@ def _parse_bytes(v: str) -> int:
     return int(m.group(1)) * (1024 ** " kmgtp".index(m.group(2) or " "))
 
 
+# listed-source-input threshold below which adaptive execution is disabled
+# for the run (see _gate_aqe); override with CODEGRAPH_AQE_MIN_BYTES
+# (0 leaves AQE untouched everywhere)
+AQE_MIN_BYTES = int(os.environ.get("CODEGRAPH_AQE_MIN_BYTES",
+                                   str(8 * 1024 ** 3)))
+
+
+def _gate_aqe(spark, source: DataFrame) -> None:
+    """Scale-gate for adaptive query execution. AQE pays a driver-side
+    re-planning round-trip per shuffle stage; across the ~60-stage edge DAG
+    that is pure critical-path latency when none of its wins can apply —
+    the linking joins are already shuffle-hash-hinted, partitions are
+    KB-MB-sized, and nothing re-plans differently (measured, paired
+    A/B/A/B at sf0.1: 51.6/52.8 s AQE-off vs 84.5/78.5 s AQE-on, the whole
+    delta in the edge phase). Below AQE_MIN_BYTES of listed file input the
+    run uses the classic planner; at or above it (or when the input is not
+    file-backed, can't be sized, or lists >256 files) AQE keeps the
+    session default — at 100 TB skew-join splitting and partition
+    coalescing are worth every re-plan."""
+    if AQE_MIN_BYTES <= 0:
+        return
+    try:
+        inputs = source.inputFiles()
+    except Exception:
+        return  # in-memory source (tests, streaming batches): leave as-is
+    if not inputs or len(inputs) > 256:
+        return  # many-file input is real scale; don't spend driver listing
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    try:
+        for uri in inputs:
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    except Exception:
+        return
+    if total < AQE_MIN_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
 def purge(spark, graph_dir: str, repo: str) -> None:
     """Scoped purge (J12, PurgeData.cypher:2-100). Graph universes are
     per-repo here, so purging a repo is a partition-filter rewrite of the
@@ -271,6 +312,7 @@ def run_pipeline(
     resumed/staged run with a big dim still unions the Spark-side URL join
     instead of silently dropping every Url node."""
     min_acc = ACC_ORDER[min_accessibility]
+    _gate_aqe(spark, source)
 
     files_src = discover(source)
     files_src = apply_diff_filter(files_src, diff)

@@ -220,6 +220,55 @@ public class Caller
     assert not any(d.endswith("Ping()") for s, _r, d in edges if s == src)
 
 
+def test_out_var_local_types_from_out_parameter(spark):
+    caller = """using Lib;
+
+namespace App;
+
+public class Caller
+{
+    public bool TryMake(out Dep made)
+    {
+        made = null;
+        return true;
+    }
+    public bool Fork(out Dep a)
+    {
+        a = null;
+        return true;
+    }
+    public bool Fork(out int a)
+    {
+        a = 0;
+        return true;
+    }
+    public void Scout()
+    {
+        if (TryMake(out var d))
+        {
+            d.Ping();
+        }
+        Fork(out var mixed);
+        mixed.Ping();
+    }
+}
+"""
+    edges = _edges(spark, [("src/Lib/Dep.cs", DEP),
+                           ("src/App/Caller.cs", caller)])
+    src = "r1:App.Caller.Scout()"
+    # the call INSIDE the if-condition binds (the control-flow keyword must
+    # not swallow it), and d takes the out parameter's declared type
+    assert (src, "src__INVOKES", "r1:App.Caller.TryMake(out Dep)") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Dep.Ping()") in edges
+    # Fork's out-var overloads DISAGREE on the out token: Roslyn cannot
+    # infer `out var` against two candidates either (CS0121 ambiguity), so
+    # Fork emits no edge and `mixed` stays untyped -> mixed.Ping() dangles.
+    # Exactly ONE Ping edge total (the typed d.Ping()).
+    assert sum(1 for s, _r, d in edges
+               if s == src and d.endswith("Ping()")) == 1
+    assert not any("Fork" in d for s, _r, d in edges if s == src)
+
+
 def test_keyword_expression_receivers_drop(spark):
     caller = """namespace App;
 
