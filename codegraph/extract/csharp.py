@@ -141,6 +141,17 @@ _RE_COMMENT = re.compile(r"^\s*(//(?!/).*|/\*.*\*/)\s*$")
 # body statement shapes
 _RE_NEW = re.compile(r"\bnew\s+([\w.]+)\s*\(([^)]*)\)")
 _RE_CALL = re.compile(r"(?<![\w.])(?:(?P<recv>this|[\w]+)\.)?(?P<name>\w+)\s*\(([^)]*)\)")
+# innermost-call variant for the sweep pass: the argument list may contain
+# NO parens, so `Outer(Inner(x))` matches Inner first; Outer matches the
+# following sweep once Inner's span is blanked to '#'
+_RE_CALL_IN = re.compile(
+    r"(?<![\w.])(?:(?P<recv>this|[\w]+)\.)?(?P<name>\w+)\s*\((?P<a>[^()]*)\)")
+# lambda parameter lists are NOT call parens: left in place they would keep
+# an enclosing call (`Batch((Helper d) => d.Fix())`) permanently
+# non-innermost, dropping Batch's edge. Blanked before the sweeps; the
+# typed params were already registered as locals from the raw body.
+_RE_LAMBDA_PARENS = re.compile(
+    r"\(\s*(?:[A-Z]\w*\s+\w+(?:\s*,\s*[A-Z]\w*\s+\w+)*)?\s*\)\s*=>")
 # one-level call chain a.B(..).C(..): the head call is matched by _RE_CALL
 # (whose lookbehind skips the .C segment); the chained member binds through
 # the head's RETURN type at link time (retsig dictionary)
@@ -1492,14 +1503,37 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                          [_classify_arg(a, locals_, t.fields, t.display)
                           for a in _split_args(argstr)])
 
-    for m in _RE_CALL.finditer(text):
-        recv, name, argstr = m.group("recv"), m.group("name"), m.group(3)
+    # innermost-first sweeps: `Outer(Inner(x))` — a flat argument capture
+    # would swallow Inner as Outer's argument text and bind neither
+    # correctly, while Roslyn binds BOTH InvocationExpressions (:96-104).
+    # Each sweep matches only calls whose argument list contains no parens
+    # (innermost), emits them, and blanks the span to a '#' placeholder so
+    # the NEXT sweep sees the outer call with the right arity and an
+    # unclassifiable ('?') argument — the lexer cannot know the inner
+    # call's return type (rank-by-arity, like any complex argument
+    # expression). Non-nested bodies finish in one sweep.
+    sweep_emits: list[tuple] = []
+    cur_text = _RE_LAMBDA_PARENS.sub(lambda m: " " * len(m.group(0)), text)
+    for _sweep in range(_MAX_CHAIN_HOPS):
+        pieces: list[str] = []
+        last = 0
+        for m in _RE_CALL_IN.finditer(cur_text):
+            pre = cur_text[max(0, m.start() - 4):m.start()]
+            pieces.append(cur_text[last:m.start()])
+            pieces.append("#".center(m.end() - m.start()))
+            last = m.end()
+            # `new X(...)`: ctor handled by the _RE_NEW scan; still blanked
+            if not (pre.endswith("new ") or pre.endswith("new")):
+                sweep_emits.append((m.group("recv"), m.group("name"),
+                                    m.group("a")))
+        if last == 0:
+            break
+        pieces.append(cur_text[last:])
+        cur_text = "".join(pieces)
+
+    for recv, name, argstr in sweep_emits:
         nargs = _count_args(argstr)
         if name in _MODIFIER_WORDS or (recv is None and name in _MODIFIER_WORDS):
-            continue
-        # skip the `new X(...)` matches already handled
-        pre = text[max(0, m.start() - 4):m.start()]
-        if pre.endswith("new ") or pre.endswith("new"):
             continue
         arg_list = _split_args(argstr)
         args = [_classify_arg(a, locals_, t.fields, t.display) for a in arg_list]

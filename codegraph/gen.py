@@ -612,6 +612,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("    {")
         lines.append("        return 1;")
         lines.append("    }")
+        # nested call argument: Roslyn binds BOTH InvocationExpressions;
+        # the outer binds by arity (the inner's return type is opaque to
+        # the lexer, so the argument classifies '?')
+        lines.append("    public void Nest()")
+        lines.append("    {")
+        lines.append("        Get(Grab());")
+        lines.append("    }")
     if c.get("has_chain"):
         # fluent Self() + one-level chain: the chained Run() binds through
         # Self()'s return type (own class; cross-type via the dep field)

@@ -861,6 +861,15 @@ calls AS (
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        \\(\\(\\w+\\)o\\)\\.Run\\(\\);$')
   UNION ALL
+  -- nested call argument Get(Grab()): Roslyn binds BOTH
+  -- InvocationExpressions (the outer by arity — the inner's return type
+  -- is an opaque argument)
+  SELECT repo, path, cur_method, type_display, NULL, 'Grab()'
+  FROM body WHERE regexp_matches(line, '^        Get\\(Grab\\(\\)\\);$')
+  UNION ALL
+  SELECT repo, path, cur_method, type_display, NULL, 'Get(int)'
+  FROM body WHERE regexp_matches(line, '^        Get\\(Grab\\(\\)\\);$')
+  UNION ALL
   -- out-var call site if (TryMake(out var d)): the single same-name
   -- member binds by arity; the display keeps the ref-kind keyword
   SELECT b.repo, b.path, b.cur_method, b.type_display, NULL,
