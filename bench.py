@@ -310,6 +310,7 @@ def main():
             # fixed critical path)
             topo_repos = n_repos // 2
             topo_ctl = {}
+            topo_wall = {}
             for n in (8, 2):
                 # measured half-corpus walls (calibration, r6): topo-8
                 # ~300-350s vs thread-8 306s (x1.1), topo-2 ~445s vs
@@ -335,6 +336,7 @@ def main():
                         lambda: run_kg_pipeline(s, scale_dir,
                                                 repo_limit=topo_repos))
                     topo_thr[n] = (nn + ne) / t
+                    topo_wall[n] = round(t, 1)
                     log(f"bench: topology local-cluster[{n},1] -> {t:.1f}s, "
                         f"{(nn + ne) / t:.0f} triples/s")
                     # compute-bound control ACROSS SEPARATE JVMs: if it
@@ -363,6 +365,7 @@ def main():
                               "efficiency": topo_eff,
                               "topology": "local-cluster[N,1,6144] 5g APC=1",
                               "corpus": f"{topo_repos}x640x{cpf}",
+                              "walls": {str(k): v for k, v in topo_wall.items()},
                               "legs_run": topo_legs}
                 if 8 in topo_ctl and 2 in topo_ctl:
                     topo_block["control_efficiency"] = round(

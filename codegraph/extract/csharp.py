@@ -1168,8 +1168,22 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
             declared = None if tok == "var" else tok.rstrip("?")
             inferred: str | None = None
             if rhs.startswith("new "):
-                mnew = _RE_NEW.match(rhs) or _RE_NEW_INIT.match(rhs)
-                inferred = mnew.group(1) if mnew else None
+                mnr = _RE_NEW_RECV.fullmatch(rhs) if declared is None else None
+                if mnr is not None:
+                    # creation-rooted chain RHS (`var d = new Dep().Clone();`):
+                    # the local takes the LAST segment's return — known only
+                    # to the link-time retsig dictionary, so it carries the
+                    # pending hops exactly like a call-return local (the
+                    # ctor and segment edges come from the text scans below)
+                    t_tok = mnr.group("t").rstrip("?")
+                    if not _is_keywordish(t_tok):
+                        segs = _RE_SEGS.findall(mnr.group("rest"))
+                        hops = tuple(hop_sig(nm, a) for nm, a in segs)
+                        if hops and len(hops) <= _MAX_CHAIN_HOPS:
+                            local_heads[name] = (t_tok, hops)
+                else:
+                    mnew = _RE_NEW.match(rhs) or _RE_NEW_INIT.match(rhs)
+                    inferred = mnew.group(1) if mnew else None
                 # the ctor INVOKES itself comes from the _RE_NEW scan below
             elif declared and (mnt := _RE_NEWT.match(rhs)) is not None:
                 # target-typed new `Dep fresh = new(..);` — Roslyn binds the

@@ -739,10 +739,13 @@ def _render_one_class(c: dict) -> list:
         lines.append("    }")
         if c.get("dep_has_chain"):
             # object-creation receiver chain: Self binds directly on the
-            # created type, Run through Self's return (one retsig hop)
+            # created type, Run through Self's return (one retsig hop);
+            # the var-tracked twin carries the pending hop on the local
             lines.append("    public void Mint()")
             lines.append("    {")
             lines.append(f"        new {dep}().Self().Run();")
+            lines.append(f"        var m = new {dep}().Self();")
+            lines.append("        m.Run();")
             lines.append("    }")
     if dep:
         # parenthesized-cast receiver: Run binds on the CAST type (the

@@ -852,6 +852,13 @@ calls AS (
   FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
   WHERE regexp_matches(b.line, '^        new \\w+\\(\\)\\.Self\\(\\)\\.Run\\(\\);$')
   UNION ALL
+  -- creation-rooted var tracking (`var m = new Dep().Self(); m.Run()`):
+  -- the local carries Self's pending return -> Run binds on the dep
+  -- (Self and the ctor collapse with the sibling Mint line's edges)
+  SELECT b.repo, b.path, b.cur_method, b.type_display, f.ftype, 'Run()'
+  FROM body b JOIN fields f ON b.repo = f.repo AND b.path = f.path
+  WHERE regexp_matches(b.line, '^        m\\.Run\\(\\);$')
+  UNION ALL
   -- parenthesized-cast receiver ((Dep)o).Run(): Run binds on the CAST
   -- type; the cast itself is a reference conversion -> no conversion
   -- method symbol -> no additional edge (and the dep's declared

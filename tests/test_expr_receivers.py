@@ -126,6 +126,29 @@ public class Caller
     assert (chain, "src__INVOKES", "r1:Lib.Dep.Ping()") in edges
 
 
+def test_creation_rooted_var_tracking(spark):
+    caller = """using Lib;
+
+namespace App;
+
+public class Caller
+{
+    public void Go()
+    {
+        var d = new Dep().Self();
+        d.Ping();
+    }
+}
+"""
+    edges = _edges(spark, [("src/Lib/Dep.cs", DEP),
+                           ("src/App/Caller.cs", caller)])
+    src = "r1:App.Caller.Go()"
+    assert (src, "src__INVOKES", "r1:Lib.Dep.Dep()") in edges
+    assert (src, "src__INVOKES", "r1:Lib.Dep.Self()") in edges
+    # d carries Self's pending return: Ping binds through the retsig hop
+    assert (src, "src__INVOKES", "r1:Lib.Dep.Ping()") in edges
+
+
 def test_cast_receiver_binds_on_cast_type(spark):
     # the dep DECLARES a user-defined conversion, but `(Box)o` from an
     # `object` operand is a built-in reference conversion — C# forbids
