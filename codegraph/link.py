@@ -46,27 +46,49 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
      dictionary scale against the DECLARING file's candidate namespaces
      (Roslyn resolves a return/property type at its declaration site);
      awaited tokens additionally unwrap ``Task<T>``/``ValueTask<T>`` to
-     ``T`` (the awaiter's GetResult type). Resolution then consumes one
-     hop per loop iteration as a single ranked dictionary join whose
-     winning pre-resolved display becomes the next receiver, binding the
-     final member on the outcome. Head-overload ambiguity, a keyword/BCL
-     result, an awaited non-Task-shaped return, or a deeper-than-bound
-     chain drops (the reference's dangling-edge outcome; Roslyn binds
-     arbitrary depth semantically).
+     ``T`` (the awaiter's GetResult type). Head-overload ambiguity, a
+     keyword/BCL result, an awaited non-Task-shaped return, or a
+     deeper-than-bound chain drops (the reference's dangling-edge outcome;
+     Roslyn binds arbitrary depth semantically).
    * **extension methods** — receiver-typed calls that found NO applicable
      instance member fall through to an ``extsig`` dictionary of static
      methods keyed by their ``this``-parameter token (matched against the
      receiver type's simple name — class names are unique per repo in the
      fixture subset). Instance members always win, like C# lookup order.
 
-   Shuffle width: every mention is first condensed to a 64-bit
-   ``mid = xxhash64(identity columns)``. Candidate explosion, the
-   dictionary joins, and the ranked min_by groupBys all move ONLY
-   (repo, mid, tok, prio)-shaped rows; the wide identity columns
-   (``m_usings``/``m_args``/``path``) never ride a shuffle. Output columns
-   are recovered by a final narrow join against a per-mid dim. mids are
-   scoped per repo (graph universes are per-repo), so a 64-bit collision
-   needs ~2^32 mentions in ONE repo before the birthday bound bites.
+   **Plan shape (round 7)**: every dictionary is PRE-GROUPED once by its
+   lookup key — types by (repo, name) with candidate-namespace entries,
+   members by (repo, type_display, lookup_name) with overload entries,
+   retsig/propsig by (repo, receiver display, name, prop-flag), extsig by
+   (repo, name, receiver simple name). Each grouped key holds ONE row, so
+   a mention resolves with a single equi-join and the whole candidate
+   ranking (namespace priority, overload rank, numeric-widening distance,
+   inheritance depth, lookup order, ambiguity detection) evaluates as
+   array expressions over the entry list — no per-mention exploded
+   candidate rows, no ranked min_by groupBys, no per-mid recovery joins.
+   The chain loop folds the SAME way: one grouped-retsig join per hop with
+   the hop outcome computed in-expression; finished/dead chains pass
+   through untouched, so the loop is a single linear plan with no
+   mid-loop unions or per-hop persists. Mention identity columns ride
+   along the (mostly map-side) joins; only the conversion /
+   using-static / base-invocation paths — the only places a mention can
+   legitimately hold >1 candidate receiver — keep a small per-mid merge
+   groupBy over a compact 64-bit ``mid = xxhash64(identity columns)``.
+
+   Join strategy is byte-gated (``codegraph.dict_broadcast``, set by
+   ``pipeline._gate_aqe`` from the listed input size): below the gate the
+   grouped dictionaries are broadcast — the mention side is never
+   shuffled at all and the resolution pipeline is a chain of map-side hash
+   joins inside one codegen span. At or above the gate (100 TB: the
+   dictionaries scale with the corpus and must not concentrate on the
+   driver) every dictionary join falls back to a ``shuffle_hash`` hint —
+   equi-joins on short keys where hashing the (smaller, 1-row-per-key
+   grouped) dictionary side beats sorting both sides, and one shuffle
+   round per lookup instead of the old explode+join+min_by three. A hint
+   is plan-time advice: if the build side's size estimate is too large
+   Spark ignores it, and a misestimated build side can still OOM at
+   runtime, which is why the hint sits on the bounded grouped-dictionary
+   side, not the mention side.
 
 2. **Dangling-edge drop (J1/F9)** — candidate edges survive only when BOTH
    endpoint keys exist as Symbol nodes in the same repo universe
@@ -77,24 +99,18 @@ broadcast vs shuffle strategies (AQE skew-join enabled in session.py):
 Graph universes are per-repo (each reference run targets one --database),
 so every join key includes ``repo``.
 
-Skew: hot in-repo names (a 'Util' class referenced by most files) concentrate
-dictionary keys. ``salt > 0`` replicates the dictionary side S times and
-routes each mention by its compact id, bounding the largest join partition
-(explicit skew salting per north_rule); AQE skew-join splitting covers
-residual imbalance at runtime.
-
-Join strategy: the dictionary joins and the J1 endpoint semi-joins carry
-explicit ``shuffle_hash`` hints — equi-joins on short keys where hashing the
-(smaller) dictionary side beats sorting both sides. A hint is plan-time
-advice: if the build side's size estimate is too large Spark ignores it, and
-a misestimated build side can still OOM at runtime (there is no runtime
-fallback to sort-merge), which is why the hint sits on the bounded
-dictionary/key side, not the mention side.
+Skew: hot in-repo names (a 'Util' class referenced by most files) land on
+one grouped-dictionary key. Under the broadcast gate there is no shuffle to
+skew. On the shuffle path, ``salt > 0`` replicates the grouped dictionary S
+ways and routes each mention by a deterministic per-row hash of its
+identity columns, bounding the largest join partition (explicit skew
+salting per north_rule); AQE skew-join splitting covers residual imbalance
+at runtime.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from codegraph.extract.base import RS, US
@@ -104,11 +120,11 @@ from codegraph.extract.csharp import EXTERNAL_TYPE_DISPLAY, KEYWORD_TYPES
 def build_dictionaries(symbols: DataFrame):
     """FQN dictionaries from deduped C# symbols.
 
-    types:   (repo, ns, name, type_key, type_display)
-    members: (repo, type_display, lookup_name, nparams, params, member_key)
+    types:   (t_repo, ns, name, type_key, type_display)
+    members: (mm_repo, type_display, lookup_name, nparams, params, member_key)
              lookup_name is the display segment before '(' — plain name,
              '<ctor>' sentinel, 'operator +', 'implicit operator int', ...
-    nss:     (repo, ns) — namespaces declared in-repo (same-assembly check,
+    nss:     (n_repo, ns) — namespaces declared in-repo (same-assembly check,
              MemberDependencyExtractor.cs:53-75)
     """
     cs = symbols.filter(F.col("language") == "csharp")
@@ -172,15 +188,19 @@ _MENTION_ID_COLS = ["repo", "path", "m_kind", "m_from_key", "m_rel", "m_name",
                     "m_recv", "m_usings", "m_nargs", "m_args", "m_head"]
 
 # static bound on access-chain depth (a.B().C().D().E() = 3 hops). Each hop
-# costs one bounded join round over chain-mention-scale frames, so the
+# costs one bounded dictionary join over chain-mention-scale frames, so the
 # constant prices linearly; deeper chains than this drop (the reference
 # binds arbitrary depth semantically — MemberDependencyExtractor.cs:77-182)
 MAX_CHAIN_HOPS = 4
 
 # priority assigned to every global-using candidate namespace: any local
-# candidate (posexplode index < 100000) outranks the global pool, and ties
+# candidate (m_usings index < 100000) outranks the global pool, and ties
 # WITHIN the pool are detected as Roslyn CS0104 ambiguity
 _GLOBAL_PRIO = 100000
+
+# neutral widening penalty for argument/parameter pairs outside the
+# int -> long -> double implicit chain (keeps the pre-widening tie behavior)
+_WPEN_NEUTRAL = 9
 
 
 def _with_mid(mentions: DataFrame) -> DataFrame:
@@ -198,179 +218,184 @@ def _with_mid(mentions: DataFrame) -> DataFrame:
                    F.coalesce(F.col("m_head"), sent)))
 
 
-def _resolve_types(cands_base: DataFrame, types: DataFrame,
-                   salt: int = 0,
-                   global_ns: DataFrame | None = None) -> DataFrame:
-    """Resolve ``resolve_tok`` against the ordered candidate-namespace list
-    (file namespace, local usings, then the repo's global usings). Keeps the
-    first (lowest-priority-index) namespace that declares the name via a
-    min_by aggregation (one shuffle with map-side partial agg — cheaper than
-    a sort window); unresolved mentions drop (Roslyn error type => no edge),
-    and mentions reachable ONLY through >=2 competing global usings drop too
-    (CS0104 ambiguity => error type => no edge).
-
-    Input: (repo, mid, resolve_tok, m_usings); the posexplode projects the
-    wide m_usings away BEFORE the dictionary join, so the shuffle moves only
-    (repo, mid, resolve_tok, prio, cand_ns). Output: (repo, mid,
-    resolve_tok, t_key, t_display)."""
-    ids = ["repo", "mid", "resolve_tok"]
-    cands = cands_base.select(
-        *ids, F.posexplode(F.split(F.col("m_usings"), US)).alias("prio", "cand_ns")
-    )
-    if global_ns is not None:
-        # repo-wide global usings: lowest priority. Per-repo counts are tiny
-        # but total rows scale with repo count, so no explicit broadcast —
-        # AQE broadcasts at runtime while the dim stays small
-        gu = (cands_base.select(*ids)
-              .join(global_ns, on=[F.col("repo") == F.col("g_repo")])
-              .withColumn("prio", F.lit(_GLOBAL_PRIO))
-              .drop("g_repo"))
-        cands = cands.unionByName(gu.select(*cands.columns))
-    t = types
-    join_cond = [F.col("repo") == F.col("t_repo"), F.col("cand_ns") == F.col("ns"),
-                 F.col("resolve_tok") == F.col("name")]
-    if salt > 0:
-        t = t.withColumn("d_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-        cands = cands.withColumn("m_salt",
-                                 F.pmod(F.col("mid"), F.lit(salt)).cast("int"))
-        join_cond.append(F.col("m_salt") == F.col("d_salt"))
-    joined = cands.join(t.hint("shuffle_hash"), on=join_cond, how="inner") \
-        .drop("t_repo", "ns", "name")
-    g = (
-        joined.groupBy(*ids)
-        .agg(F.min("prio").alias("_p0"),
-             F.expr("min_by(struct(type_key, type_display), "
-                    "struct(prio, type_key))").alias("_r"),
-             F.count_distinct(
-                 F.when(F.col("prio") >= _GLOBAL_PRIO, F.col("type_key")))
-             .alias("_nglob"))
-    )
-    return (
-        g.filter((F.col("_p0") < _GLOBAL_PRIO) | (F.col("_nglob") <= 1))
-        .select(*ids,
-                F.col("_r.type_key").alias("t_key"),
-                F.col("_r.type_display").alias("t_display"))
-    )
-
-
 def _as_edge(df: DataFrame, dst_col: str) -> DataFrame:
     return df.select("repo", F.col("m_from_key").alias("src_key"),
                      F.col("m_rel").alias("rel_type"),
                      F.col(dst_col).alias("dst_key"))
 
 
+def _use_dict_broadcast(df: DataFrame) -> bool:
+    """Byte-gated dictionary join strategy (set by pipeline._gate_aqe from
+    the listed source size; default ON for non-file-backed inputs, whose
+    dictionaries are test/stream-batch sized). Broadcast keeps the mention
+    side un-shuffled; the shuffle_hash fallback is the 100 TB path where
+    per-repo dictionaries scale with the corpus."""
+    return (df.sparkSession.conf.get(
+        "codegraph.dict_broadcast", "true") == "true")
+
+
+def _dict_join(left: DataFrame, right: DataFrame, cond: list, how: str,
+               bc: bool, salt: int = 0,
+               lsalt: Column | None = None) -> DataFrame:
+    """Join a mention-scale frame against a pre-grouped (1-row-per-key)
+    dictionary. ``bc`` broadcasts the dictionary (map-side, no shuffle);
+    otherwise a shuffle_hash hint builds the hash table on the grouped
+    dictionary side. ``salt`` (shuffle path only) replicates the dictionary
+    S ways and routes left rows by the deterministic per-row hash ``lsalt``
+    so one hot dictionary key cannot own a whole join partition."""
+    if bc:
+        return left.join(F.broadcast(right), on=cond, how=how)
+    if salt > 0 and lsalt is not None:
+        right = right.withColumn(
+            "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        left = left.withColumn("_msalt",
+                               F.pmod(lsalt, F.lit(salt)).cast("int"))
+        cond = cond + [F.col("_msalt") == F.col("_dsalt")]
+        return (left.join(right.hint("shuffle_hash"), on=cond, how=how)
+                .drop("_msalt", "_dsalt"))
+    return left.join(right.hint("shuffle_hash"), on=cond, how=how)
+
+
 def resolve_mentions(records: DataFrame, symbols: DataFrame,
                      salt: int = 0, persist: bool = False) -> DataFrame:
     """mention records -> resolved candidate edges (repo, src_key, rel_type,
-    dst_key). Duplicate mentions collapse inside the ranked groupBys — MERGE
-    semantics make edge multiplicity irrelevant (§1.4.4).
+    dst_key). Duplicate mentions produce duplicate candidate edges; MERGE
+    semantics make edge multiplicity irrelevant (§1.4.4) and ``link_edges``
+    ends in a distinct.
 
-    ``persist`` caches the frames that feed MULTIPLE downstream branches
-    (``resolved_full`` feeds 4: type edges, member lookup, chain heads,
-    extension fallback; ``bases`` 3; ``dim``/``ranked`` 2 each) — without it
-    Spark re-executes the whole pass-1 explode+join+min_by subtree once per
-    branch inside the single edge job (measured 2.3x on the full pipeline).
-    Every cached frame is either dictionary-scale or a NARROW per-mid
-    projection (64-bit mid + short strings), so the cache footprint stays
-    a small fraction of the corpus at any scale; MEMORY_AND_DISK spills
-    rather than OOMs on a misestimate. Caller owns cleanup via
-    ``spark.catalog.clearCache()`` (the frames stay referenced lazily).
+    Shuffle budget: under the broadcast gate the mention side never
+    shuffles — type resolution, member lookup, chain hops, and the
+    extension fallback are all map-side joins against pre-grouped
+    dictionaries with the candidate ranking evaluated in-expression. The
+    only mention-scale exchanges left are the two tiny per-mid merge
+    groupBys on the conversion/using-static/base-invocation paths (the
+    mention kinds that can hold >1 candidate receiver). On the shuffle
+    path (100 TB) each lookup costs ONE exchange of the narrow carry
+    columns instead of the old explode + dictionary join + ranked min_by
+    round-trip.
 
-    Shuffle budget (the whole resolution is TWO ranked lookups over COMPACT
-    64-bit mention ids):
-    1. ONE type-resolution pass — every mention kind that names a type
-       explodes its candidate token(s) (conversions try operand AND target,
-       the two places C# allows the declaration) x candidate namespaces,
-       joins the type dictionary once, min_by(priority).
-    2. ONE member-lookup pass — ctor/invoke/operator/conversion mentions
-       explode their acceptable lookup names (1-2 each), join the member
-       dictionary once, and rank: declared-param-token equality (0), arity
-       or no-arg-list (1), else drop — the Roslyn overload-resolution-failure
-       analog. Cast syntax prefers explicit over implicit via lookup order.
-       Unknown-arg ('?') rank ties among same-arity overloads drop
-       (ambiguity => no edge).
-    Output columns (m_from_key, m_rel) are recovered afterwards by one
-    narrow join per pass against the deduped per-mid dim, so neither ranked
-    shuffle ever carries the wide identity columns.
+    The persisted frames (``persist`` is ignored by design, as before):
+    the single mention scan and the grouped dictionaries, each feeding
+    2-6 downstream joins. All are either dictionary-scale or a projection
+    of the mention columns; MEMORY_AND_DISK spills rather than OOMs, and
+    the caller releases via ``spark.catalog.clearCache()``.
     """
     def _p(df: DataFrame) -> DataFrame:
-        # UNCONDITIONAL persist (the ``persist`` flag is ignored here, by
-        # design): every wrapped frame feeds >=2 downstream branches or a
-        # loop iteration whose lineage nests the previous ones, so without
-        # a cache boundary BOTH the executed work and the Catalyst plan
-        # grow multiplicatively (persist substitutes InMemoryRelation at
-        # analysis time, truncating the plan — optimizer time alone
-        # dominated tiny-fixture runs before this). Every frame is either
-        # dictionary-scale or a NARROW per-mid projection, MEMORY_AND_DISK
-        # spills rather than OOMs, and the caller releases via
-        # spark.catalog.clearCache().
         return df.persist()
 
+    bc = _use_dict_broadcast(records)
     types, members, nss = build_dictionaries(symbols)
-    mentions = _p(_with_mid(
-        records.filter(F.col("rec") == "mention").select(*_MENTION_ID_COLS)))
-
-    # narrow per-mid dim: ONLY the columns downstream passes need — the wide
-    # m_usings / path columns are excluded, so this dedup shuffle and the
-    # recovery joins stay compact. Side-channel records (retsig/extsig/
-    # global_using) never resolve, so they stay out of the dim too.
-    dim = (mentions.filter(~F.col("m_kind").isin("retsig", "extsig", "propsig",
-                                                 "basesig", "global_using",
-                                                 "optsig"))
-           .select("repo", "mid", "m_kind", "m_from_key", "m_rel",
-                   "m_name", "m_recv", "m_nargs", "m_args", "m_head")
-           .dropDuplicates(["repo", "mid"]))
-    dim = _p(dim)
+    mentions = _p(records.filter(F.col("rec") == "mention")
+                  .select(*_MENTION_ID_COLS))
+    kind = F.col("m_kind")
+    kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
+    ext_names = F.array(*[F.lit(k) for k in EXTERNAL_TYPE_DISPLAY])
 
     # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
     global_ns = (mentions.filter(F.col("m_kind") == "global_using")
                  .select(F.col("repo").alias("g_repo"),
-                         F.col("m_name").alias("cand_ns"))
+                         F.col("m_name").alias("g_ns"))
                  .distinct())
-    global_ns = _p(global_ns)
 
-    kind = F.col("m_kind")
-    kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
+    # --- grouped type dictionary: ONE row per (repo, simple name) with the
+    #     declaring-namespace entries; is_global marks namespaces reachable
+    #     through the repo's global-using pool ------------------------------
+    typesg = _p(
+        types.join(F.broadcast(global_ns) if bc else global_ns,
+                   on=[types.t_repo == global_ns.g_repo,
+                       types.ns == global_ns.g_ns], how="left")
+        .select("t_repo", "ns", "name", "type_key", "type_display",
+                F.col("g_ns").isNotNull().alias("is_global"))
+        .groupBy(F.col("t_repo").alias("tg_repo"),
+                 F.col("name").alias("tg_name"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "ns", "type_key", "type_display", "is_global")))
+            .alias("tg_entries")))
 
-    # --- pass 1: type resolution ------------------------------------------
-    toks = (F.when(kind.isin("type", "ctor"), F.array("m_name"))
-            .when(kind.isin("invoke_via", "invoke_static", "op", "chain_via"),
-                  F.array("m_recv"))
-            .otherwise(F.array_distinct(F.array("m_recv", "m_name"))))  # conv_*
-    needs_type = (
-        mentions.filter(kind.isin("type", "ctor", "invoke_via", "invoke_static",
-                                  "op", "conv_impl", "conv_expl", "chain_via"))
-        .select("repo", "mid", "m_usings", F.explode(toks).alias("resolve_tok"))
-        .filter(F.col("resolve_tok").isNotNull() & (F.col("resolve_tok") != "")
-                & ~F.array_contains(kw, F.col("resolve_tok"))
-                & ~F.col("resolve_tok").startswith("System.")))
-    resolved_t = _resolve_types(needs_type, types, salt, global_ns)
-    # recover the narrow output/ranking columns once per resolved mention
-    resolved_full = _p(resolved_t.join(dim, ["repo", "mid"]))
+    def _attach_type(df: DataFrame, tok: Column, prefix: str,
+                     lsalt: Column | None = None) -> DataFrame:
+        """Resolve ``tok`` against the ordered candidate-namespace list in
+        ``m_usings`` (file namespace + local usings, then the repo's global
+        usings at _GLOBAL_PRIO). Adds ``<prefix>_key`` / ``<prefix>_display``
+        columns; NULL when the token is unresolvable (Roslyn error type) or
+        reachable ONLY through >=2 competing global usings (CS0104). One
+        grouped-dictionary join; the first-match-wins scan of the namespace
+        list runs in-expression."""
+        j = _dict_join(df.withColumn("_rtok", tok), typesg,
+                       [F.col("repo") == F.col("tg_repo"),
+                        F.col("_rtok") == F.col("tg_name")],
+                       "left", bc, salt, lsalt)
+        usings = F.split(F.col("m_usings"), US)
 
-    type_edges = _as_edge(resolved_full.filter(kind == "type"), "t_key")
+        def _pos(e):
+            return F.array_position(usings, e["ns"])
+
+        matched = F.filter(F.col("tg_entries"),
+                           lambda e: (_pos(e) > 0) | e["is_global"])
+        scored = F.transform(
+            matched,
+            lambda e: F.struct(
+                F.when(_pos(e) > 0, _pos(e) - 1)
+                .otherwise(F.lit(_GLOBAL_PRIO)).alias("prio"),
+                e["type_key"].alias("type_key"),
+                e["type_display"].alias("type_display")))
+        nglob = F.size(F.array_distinct(F.transform(
+            F.filter(matched, lambda e: e["is_global"]),
+            lambda e: e["type_key"])))
+        j = j.withColumn("_twin", F.get(F.array_sort(scored), 0)) \
+            .withColumn("_tok_", (F.col("_twin").isNotNull()
+                                  & ((F.col("_twin.prio") < _GLOBAL_PRIO)
+                                     | (nglob <= 1))))
+        return (j.withColumn(f"{prefix}_key",
+                             F.when(F.col("_tok_"), F.col("_twin.type_key")))
+                .withColumn(f"{prefix}_display",
+                            F.when(F.col("_tok_"),
+                                   F.col("_twin.type_display")))
+                .drop("_rtok", "_twin", "_tok_",
+                      "tg_repo", "tg_name", "tg_entries"))
+
+    # mention-kind token validity (Roslyn: keywords/BCL names are never
+    # in-repo types -> no resolution attempt)
+    def _valid(tok: Column) -> Column:
+        return F.when(tok.isNotNull() & (tok != "")
+                      & ~F.array_contains(kw, tok)
+                      & ~tok.startswith("System."), tok)
+
+    # per-row routing hash for the shuffle-path salt: only columns present
+    # on EVERY mention-derived frame (m_from_key varies per call site, which
+    # is what spreads a hot dictionary key across partitions)
+    id_salt = F.xxhash64("repo", "m_from_key",
+                         F.coalesce(F.col("m_name"), F.lit("\x00")))
+
+    # --- pass 1: type resolution for single-token mention kinds ------------
+    p1 = _attach_type(
+        mentions.filter(kind.isin("type", "ctor", "invoke_via",
+                                  "invoke_static", "op", "chain_via")),
+        _valid(F.when(kind.isin("type", "ctor"), F.col("m_name"))
+               .otherwise(F.col("m_recv"))),
+        "t", id_salt)
+    p1 = _p(p1.filter(F.col("t_display").isNotNull() | (kind == "type")))
+
+    type_edges = _as_edge(
+        p1.filter((kind == "type") & F.col("t_key").isNotNull()), "t_key")
 
     # --- inherited members: resolve declared base lists (basesig records)
     #     and pre-expand the member dictionary so EVERY lookup path (plain
     #     invocation, chain tail, extension-fallback trigger) sees base
     #     members at a deeper rank — Roslyn binds the call to the BASE's
     #     declaring symbol, and an own member hides a base member ------------
-    base_sig = mentions.filter(F.col("m_kind") == "basesig")
-    resolved_bases = _resolve_types(
-        base_sig.select("repo", "mid",
-                        F.col("m_name").alias("resolve_tok"), "m_usings"),
-        types, salt, global_ns)
-    bdim = (base_sig.select("repo", "mid",
-                            F.col("m_recv").alias("derived_display"))
-            .dropDuplicates(["repo", "mid"]))
-    bases = (resolved_bases.join(bdim, ["repo", "mid"])
-             .select(F.col("repo").alias("b_repo"), "derived_display",
-                     F.col("t_display").alias("base_display"))
-             .distinct())
-    bases = _p(bases)
+    bases = _p(
+        _attach_type(mentions.filter(F.col("m_kind") == "basesig"),
+                     F.col("m_name"), "b", id_salt)
+        .filter(F.col("b_display").isNotNull())
+        .select(F.col("repo").alias("b_repo"),
+                F.col("m_recv").alias("derived_display"),
+                F.col("b_display").alias("base_display"))
+        .distinct())
 
     def _inherit(mbrs: DataFrame, depth: int) -> DataFrame:
-        return (mbrs.join(bases,
+        bside = F.broadcast(bases) if bc else bases
+        return (mbrs.join(bside,
                           on=[mbrs.mm_repo == bases.b_repo,
                               mbrs.type_display == bases.base_display])
                 .filter(F.col("lookup_name") != "<ctor>")  # ctors don't inherit
@@ -390,50 +415,84 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # (Roslyn fills the defaults; CSharpErrorMessageFormat displays types
     # only, so the symbol table alone cannot see optionality). Keyed by the
     # member key — unique per member, preserved through the inherit
-    # expansion — and built from the RAW records with a narrow projection
-    # (no mid hashing, no wide identity columns), joined ONCE after the
-    # union so the plan evaluates the optsig scan a single time.
-    opts = (records.filter((F.col("rec") == "mention")
-                           & (F.col("m_kind") == "optsig"))
+    # expansion — joined once before the grouping.
+    opts = (mentions.filter(F.col("m_kind") == "optsig")
             .select(F.col("m_from_key").alias("o_key"),
                     F.col("m_nargs").alias("min_nparams"))
             .distinct())
-    members = _p(members.join(
-        opts, on=[members.member_key == opts.o_key], how="left").drop("o_key"))
+    members = members.join(F.broadcast(opts) if bc else opts,
+                           on=[members.member_key == opts.o_key],
+                           how="left").drop("o_key")
+    # the depth>=1 slice below anti-joins the using-static path BEFORE the
+    # grouping, so members persists once and feeds both
+    members = _p(members)
 
-    # --- pass 2: member lookup ----------------------------------------------
-    # own-type invocations (incl. method groups) skip type resolution: m_recv
-    # already holds the containing type display
-    mem_cols = ["repo", "mid", "m_kind", "m_name", "m_nargs", "m_args",
-                "t_display"]
-    own = (dim.filter(kind == "invoke")
-           .withColumn("t_display", F.col("m_recv"))
-           .select(*mem_cols))
-    # base.M(): substitute the caller's own display with its declared base
-    # (Roslyn base-access binds in the base type's scope); no base -> drop
-    own_base = (dim.filter(kind == "invoke_base")
-                .join(bases, on=[F.col("repo") == F.col("b_repo"),
-                                 F.col("m_recv") == F.col("derived_display")])
-                .withColumn("t_display", F.col("base_display"))
-                .select(*mem_cols))
-    member_mentions = resolved_full.filter(
-        kind.isin("ctor", "invoke_via", "invoke_static", "op",
-                  "conv_impl", "conv_expl")).select(*mem_cols) \
-        .unionByName(own).unionByName(own_base)
-    impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
-    expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
-    lookups = (F.when(kind == "ctor", F.array(F.lit("<ctor>")))
-               .when(kind == "conv_impl", F.array(impl_name))
-               .when(kind == "conv_expl", F.array(expl_name, impl_name))
-               .otherwise(F.array("m_name")))
-    norm_args = F.when(F.col("m_args").isNull(), F.lit(None)) \
-        .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
+    # --- grouped member dictionary: ONE row per (repo, type display, lookup
+    #     name) holding the overload entries --------------------------------
+    membersg = _p(
+        members.groupBy(F.col("mm_repo").alias("mg_repo"),
+                        F.col("type_display").alias("mg_display"),
+                        F.col("lookup_name").alias("mg_lookup"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "nparams", "params", "is_generic", "member_key", "depth",
+            "min_nparams"))).alias("mg_entries")))
 
-    # --- chained calls: bind each LATER member through the preceding
-    #     call's return token (retsig dictionary), one hop per loop
-    #     iteration, then ride the shared member-lookup join below. m_head
-    #     carries the hop signatures RS-separated: one hop for a.B().C()
-    #     and `var x = a.B(); x.C()`, two for a.B().C().D() ----------------
+    norm_args = F.when(F.col("m_args").isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.regexp_replace(F.col("m_args"), US, ", "))
+
+    # per-entry overload rank (Roslyn overload resolution analog), widening
+    # distance (C# 7.4.6.2 betterness on int -> long -> double), inheritance
+    # depth, and lookup order folded into one comparable _rank — identical
+    # arithmetic to the round-6 ranked groupBy, evaluated per entry list
+    def _member_best(entries: Column, lrank: Column):
+        nargs = F.col("m_nargs")
+        nrm = F.col("norm_args")
+
+        def _rank_of(e):
+            rank = (
+                F.when(nrm.isNotNull() & ~nrm.contains("?")
+                       & (e["params"] == nrm), F.lit(0))
+                .when(nargs.isNull(), F.lit(1))
+                .when(e["nparams"] == nargs, F.lit(1))
+                # default-parameter fill: fewer args than declared params,
+                # but at least the required minimum — loses to any
+                # exact-arity candidate
+                .when((nargs >= e["min_nparams"]) & (nargs < e["nparams"]),
+                      F.lit(2))
+                .otherwise(F.lit(99)))
+            wdist = F.when(
+                nargs.isNull() | nrm.isNull() | (e["nparams"] != nargs),
+                F.lit(None).cast("int")).otherwise(
+                F.aggregate(
+                    F.zip_with(
+                        F.split(nrm, ", "), F.split(e["params"], ", "),
+                        lambda a, p: F.when(a == p, F.lit(0))
+                        .when((a == "int") & (p == "long"), F.lit(1))
+                        .when((a == "int") & (p == "double"), F.lit(2))
+                        .when((a == "long") & (p == "double"), F.lit(1))
+                        .otherwise(F.lit(None).cast("int"))),
+                    F.lit(0).cast("int"), lambda acc, x: acc + x))
+            wpen = F.coalesce(wdist, F.lit(_WPEN_NEUTRAL))
+            return rank * 1000 + wpen * 50 + e["depth"] * 10 + lrank
+
+        appl = F.filter(
+            F.transform(entries, lambda e: F.struct(
+                _rank_of(e).alias("_rank"),
+                e["member_key"].alias("member_key"),
+                e["is_generic"].alias("is_generic"))),
+            lambda x: x["_rank"] < 99000)
+        best = F.get(F.array_sort(appl), 0)
+        maxk = F.array_max(F.transform(
+            F.filter(appl, lambda x: x["_rank"] == best["_rank"]),
+            lambda x: x["member_key"]))
+        return best, maxk
+
+    unk = F.coalesce(F.col("norm_args").contains("?"), F.lit(False))
+
+    # --- chained calls: fold each hop through the grouped retsig/propsig
+    #     dictionary; the winning pre-resolved display becomes the next
+    #     receiver. Finished/dead chains pass the join through untouched, so
+    #     MAX_CHAIN_HOPS iterations build ONE linear plan --------------------
     # The result tokens resolve ONCE here, at DICTIONARY scale, against the
     # DECLARING file's candidate namespaces (the retsig/propsig records
     # carry them): Roslyn resolves a method's return type and a property's
@@ -443,25 +502,23 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # through them drops (the reference's dangling-edge outcome). Awaited
     # hops need the Task<T>/ValueTask<T>-unwrapped token (Roslyn: the
     # await-expression's type is the awaiter's GetResult type), so both
-    # forms resolve side by side and the hop picks one by its await flag.
+    # tokens resolve side by side and the hop picks one by its await flag.
+    nargs_t = dict(mentions.dtypes)["m_nargs"]
     rets_raw = (mentions.filter(F.col("m_kind") == "retsig")
                 .select(F.col("repo"),
                         F.col("m_recv").alias("rt_display"),
                         F.col("m_name").alias("r_name"),
                         F.col("m_nargs").alias("r_nparams"),
                         F.when(F.col("m_args").isNull(), F.lit(""))
-                        .otherwise(F.array_join(F.split(F.col("m_args"), US),
-                                                ", "))
+                        .otherwise(F.regexp_replace(F.col("m_args"), US, ", "))
                         .alias("r_params"),
                         F.col("m_head").alias("r_ret"),
                         F.col("m_usings"))
-                .distinct()
                 .withColumn("r_prop", F.lit(False)))
     # property/field type dictionary: a property hop (`a.Prop.M()`) steps
     # through the member's declared type token instead of a call return.
     # Same bounded dictionary scale as retsig; r_nparams = -1 sentinel keeps
     # the shared rank expression exact-matching prop hops only.
-    nargs_t = dict(mentions.dtypes)["m_nargs"]
     props_raw = (mentions.filter(F.col("m_kind") == "propsig")
                  .select(F.col("repo"),
                          F.col("m_recv").alias("rt_display"),
@@ -470,124 +527,173 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                          F.lit("").alias("r_params"),
                          F.col("m_head").alias("r_ret"),
                          F.col("m_usings"))
-                 .distinct()
                  .withColumn("r_prop", F.lit(True)))
-    rets_raw = rets_raw.unionByName(props_raw).withColumn(
-        "mid", F.xxhash64("repo", "rt_display", "r_name", "r_nparams",
-                          "r_params", "r_ret", "r_prop"))
+    rets_raw = rets_raw.unionByName(props_raw).distinct()
     unwrap_tok = F.regexp_extract(
         F.col("r_ret"),
         r"^(?:System\.Threading\.Tasks\.)?(?:Task|ValueTask)<(.+)>$", 1)
-    ret_toks = (rets_raw.select(
-        "repo", "mid", "m_usings",
-        F.explode(F.array(
-            F.struct(F.lit(False).alias("aw"), F.col("r_ret").alias("tok")),
-            F.struct(F.lit(True).alias("aw"), unwrap_tok.alias("tok"))))
-        .alias("t"))
-        .select("repo", "mid", "m_usings", F.col("t.aw").alias("aw"),
-                F.col("t.tok").alias("resolve_tok"))
-        .filter((F.col("resolve_tok") != "")
-                & ~F.array_contains(kw, F.col("resolve_tok"))
-                & ~F.col("resolve_tok").startswith("System.")
-                & ~F.col("resolve_tok").isin(*EXTERNAL_TYPE_DISPLAY.keys())))
-    rdisp = (_resolve_types(ret_toks.drop("aw"), types, salt, global_ns)
-             .join(ret_toks.select("repo", "mid", "resolve_tok", "aw"),
-                   ["repo", "mid", "resolve_tok"])
-             .groupBy("repo", "mid")
-             .agg(F.max(F.when(~F.col("aw"), F.col("t_display")))
-                  .alias("ret_display"),
-                  F.max(F.when(F.col("aw"), F.col("t_display")))
-                  .alias("await_display")))
-    rets = _p(rets_raw.join(rdisp, ["repo", "mid"], "left")
-              .select(F.col("repo").alias("rr_repo"), "rt_display", "r_name",
-                      "r_nparams", "r_params", "r_prop", "r_ret",
-                      "ret_display", "await_display"))
-    chain_cols = ["repo", "mid", "m_head", "t_display"]
-    ch_via = resolved_full.filter(kind == "chain_via").select(*chain_cols)
-    ch_own = (dim.filter(kind == "chain_own")
+
+    def _ret_valid(tok: Column) -> Column:
+        return F.when((tok != "") & ~F.array_contains(kw, tok)
+                      & ~tok.startswith("System.")
+                      & ~F.array_contains(ext_names, tok), tok)
+
+    ret_salt = F.xxhash64("repo", "rt_display", "r_name")
+    rets = _attach_type(rets_raw, _ret_valid(F.col("r_ret")), "rr", ret_salt)
+    rets = _attach_type(rets, _ret_valid(unwrap_tok), "ra", ret_salt)
+    retsg = _p(
+        rets.groupBy(F.col("repo").alias("rg_repo"),
+                     F.col("rt_display").alias("rg_display"),
+                     F.col("r_name").alias("rg_name"),
+                     F.col("r_prop").alias("rg_prop"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "r_params", "r_nparams", "r_ret",
+            F.col("rr_display").alias("ret_display"),
+            F.col("ra_display").alias("await_display"))))
+            .alias("rg_entries")))
+
+    chain_keep = ["repo", "m_kind", "m_from_key", "m_rel", "m_name",
+                  "m_nargs", "m_args"]
+    ch_via = p1.filter(kind == "chain_via").select(*chain_keep, "m_head",
+                                                  "t_display")
+    ch_own = (mentions.filter(kind == "chain_own")
               .withColumn("t_display", F.col("m_recv"))
-              .select(*chain_cols))
-    # hop loop: each iteration consumes ONE head signature — a single ranked
-    # lookup in the pre-resolved retsig dictionary on the current receiver
-    # type (overload ambiguity, a keyword/BCL result, or an awaited
-    # non-Task-shaped return drops the chain, the reference's dangling-edge
-    # outcome); the winning hop's pre-resolved display becomes the next
-    # receiver directly — no per-hop type resolution. Chains whose hop list
-    # is exhausted exit to the member-lookup join; MAX_CHAIN_HOPS static
-    # iterations bound the depth (a deeper m_head leaves `pending` non-empty
-    # after the loop and drops — the reference binds arbitrary depth,
-    # MemberDependencyExtractor.cs:77-182, so raise the constant to widen).
-    # All frames here are dictionary/chain-mention-scale: each hop adds ONE
-    # bounded join round, not a corpus-wide shuffle.
-    pending = (ch_via.unionByName(ch_own)
-               .select("repo", "mid", "t_display",
-                       F.split(F.col("m_head"), RS).alias("hops")))
-    done = None
+              .select(*chain_keep, "m_head", "t_display"))
+    state = (ch_via.unionByName(ch_own)
+             .select(*chain_keep, "t_display",
+                     F.split(F.col("m_head"), RS).alias("hops")))
     for _hop in range(MAX_CHAIN_HOPS):
-        hp = F.split(F.element_at(F.col("hops"), 1), US)
-        raw_name = hp.getItem(0)
-        is_prop = hp.getItem(1) == F.lit("P")
-        cur = pending.select(
-            "repo", "mid", "t_display",
-            F.regexp_replace(raw_name, "^@", "").alias("h_name"),
-            raw_name.startswith("@").alias("h_await"),
-            is_prop.alias("h_prop"),
-            F.when(is_prop, F.lit(-1))
-            .otherwise(hp.getItem(1).cast("int")).alias("h_nargs"),
-            F.array_join(
-                F.slice(hp, F.lit(3), F.greatest(F.size(hp) - 2, F.lit(0))),
-                ", ").alias("h_args"))
-        hj = cur.join(
-            rets,
-            on=[F.col("repo") == F.col("rr_repo"),
-                F.col("t_display") == F.col("rt_display"),
-                F.col("h_name") == F.col("r_name"),
-                F.col("h_prop") == F.col("r_prop")],
-            how="inner")
-        hrank = (F.when(~F.col("h_args").contains("?")
-                        & (F.col("r_params") == F.col("h_args")), F.lit(0))
-                 .when(F.col("r_nparams") == F.col("h_nargs"), F.lit(1))
-                 .otherwise(F.lit(99)))
-        hj = hj.withColumn("_hr", hrank).filter(F.col("_hr") < 99)
-        hranked = (
-            hj.groupBy("repo", "mid")
-            .agg(F.min("_hr").alias("_h0"),
-                 F.expr("min_by(struct(r_params, r_ret, ret_display, "
-                        "await_display), struct(_hr, r_params))")
-                 .alias("_minr"),
-                 F.expr("max_by(struct(r_params, r_ret), struct(-_hr, r_params))")
-                 .alias("_maxr"),
-                 F.max(F.col("h_args").contains("?")).alias("_hunk"),
-                 F.first("h_await").alias("h_await")))
-        # head overload ambiguity mirrors the member pass: an arity-rank tie
-        # with unclassified args (differing in params or raw return) is a
-        # Roslyn error -> the whole chain drops. The ambiguity compare uses
-        # the RAW token columns, not the resolved displays, so two
+        active = (F.size("hops") > 0) & F.col("t_display").isNotNull()
+        hp = F.split(F.get(F.col("hops"), 0), US)
+        raw_name = F.get(hp, 0)
+        h_name = F.regexp_replace(raw_name, "^@", "")
+        h_await = raw_name.startswith("@")
+        is_prop = F.get(hp, 1) == F.lit("P")
+        h_nargs = F.when(is_prop, F.lit(-1)) \
+            .otherwise(F.get(hp, 1).cast("int"))
+        h_args = F.array_join(
+            F.slice(hp, F.lit(3), F.greatest(F.size(hp) - 2, F.lit(0))), ", ")
+        st = (state.withColumn("_hname", F.when(active, h_name))
+              .withColumn("_hawait", h_await)
+              .withColumn("_hprop", F.when(active, is_prop))
+              .withColumn("_hnargs", F.when(active, h_nargs))
+              .withColumn("_hargs", h_args))
+        hj = _dict_join(
+            st, retsg,
+            [F.col("repo") == F.col("rg_repo"),
+             F.col("t_display") == F.col("rg_display"),
+             F.col("_hname") == F.col("rg_name"),
+             F.col("_hprop") == F.col("rg_prop")],
+            "left", bc, salt, id_salt)
+        # per-hop overload rank over the grouped entries: exact classified
+        # args (0) beats arity (1); an arity-rank winner with unclassified
+        # args tying >=2 entries differing in params or raw return is a
+        # Roslyn error -> the whole chain drops. Comparison uses the RAW
+        # token columns, not the resolved displays, so two
         # unresolvable-but-different overload returns still count as a tie.
-        h_ok = (hranked
-                .filter(~(F.col("_hunk") & (F.col("_h0") >= 1)
-                          & ((F.col("_minr.r_params") != F.col("_maxr.r_params"))
-                             | (F.col("_minr.r_ret") != F.col("_maxr.r_ret")))))
-                .select("repo", "mid",
-                        F.when(F.col("h_await"), F.col("_minr.await_display"))
-                        .otherwise(F.col("_minr.ret_display"))
-                        .alias("t_display"))
-                .filter(F.col("t_display").isNotNull()))
-        stepped = _p(h_ok.join(pending.select(
-            "repo", "mid",
-            F.expr("slice(hops, 2, greatest(size(hops) - 1, 0))")
-            .alias("hops")), ["repo", "mid"]))
-        fin = (stepped.filter(F.size("hops") == 0)
-               .select("repo", "mid", "t_display"))
-        done = fin if done is None else done.unionByName(fin)
-        pending = stepped.filter(F.size("hops") > 0)
-    chain_cand = (done
-                  .join(dim.select("repo", "mid", "m_name", "m_nargs", "m_args"),
-                        ["repo", "mid"])
-                  .select("repo", "mid", "m_nargs",
-                          norm_args.alias("norm_args"), "t_display",
-                          F.lit(0).alias("lrank"),
-                          F.col("m_name").alias("lookup")))
+        hargs = F.col("_hargs")
+        appl = F.filter(
+            F.transform(
+                F.col("rg_entries"),
+                lambda e: F.struct(
+                    (F.when(~hargs.contains("?")
+                            & (e["r_params"] == hargs), F.lit(0))
+                     .when(e["r_nparams"] == F.col("_hnargs"), F.lit(1))
+                     .otherwise(F.lit(99))).alias("_hr"),
+                    e["r_params"].alias("r_params"),
+                    e["r_ret"].alias("r_ret"),
+                    e["ret_display"].alias("ret_display"),
+                    e["await_display"].alias("await_display"))),
+            lambda x: x["_hr"] < 99)
+        hj = hj.withColumn("_appl", appl) \
+            .withColumn("_minr", F.get(F.array_sort(F.col("_appl")), 0))
+        minr = F.col("_minr")
+        maxr = F.array_max(F.transform(
+            F.filter(F.col("_appl"), lambda x: x["_hr"] == minr["_hr"]),
+            lambda x: F.struct(x["r_params"].alias("r_params"),
+                               x["r_ret"].alias("r_ret"))))
+        h_amb = (hargs.contains("?") & (minr["_hr"] >= 1)
+                 & ((minr["r_params"] != maxr["r_params"])
+                    | (minr["r_ret"] != maxr["r_ret"])))
+        next_disp = (
+            F.when(~active, F.col("t_display"))
+            .when(minr.isNull() | h_amb, F.lit(None).cast("string"))
+            .when(F.col("_hawait"), minr["await_display"])
+            .otherwise(minr["ret_display"]))
+        state = hj.select(
+            *chain_keep,
+            next_disp.alias("t_display"),
+            F.when(active,
+                   F.expr("slice(hops, 2, greatest(size(hops) - 1, 0))"))
+            .otherwise(F.col("hops")).alias("hops"))
+    chain_done = (state.filter((F.size("hops") == 0)
+                               & F.col("t_display").isNotNull())
+                  .drop("hops"))
+
+    # --- pass 2, path A (one candidate receiver per mention): own-type and
+    #     resolved-receiver invocations, ctors, operators, finished chains.
+    #     The grouped join returns at most ONE row per mention, so the whole
+    #     ranked selection is a projection — no groupBy ----------------------
+    a_cols = ["repo", "m_kind", "m_from_key", "m_rel", "m_name", "m_nargs",
+              "m_args", "t_display"]
+    own = (mentions.filter(kind == "invoke")
+           .withColumn("t_display", F.col("m_recv"))
+           .select(*a_cols))
+    path_a = (p1.filter(kind.isin("ctor", "invoke_via", "invoke_static",
+                                  "op"))
+              .select(*a_cols)
+              .unionByName(own)
+              .unionByName(chain_done.select(*a_cols)))
+    path_a = (path_a
+              .withColumn("norm_args", norm_args)
+              .withColumn("lookup",
+                          F.when(kind == "ctor", F.lit("<ctor>"))
+                          .otherwise(F.col("m_name"))))
+    aj = _dict_join(path_a, membersg,
+                    [F.col("repo") == F.col("mg_repo"),
+                     F.col("t_display") == F.col("mg_display"),
+                     F.col("lookup") == F.col("mg_lookup")],
+                    "left", bc, salt, id_salt)
+    a_best, a_maxk = _member_best(F.col("mg_entries"), F.lit(0))
+    aj = _p(aj.withColumn("_best", a_best).withColumn("_maxk", a_maxk))
+    # arity-rank ties (rank 1 -> _rank 1000..1480) with unclassified args
+    # have no principled winner: Roslyn would bind via conversions the lexer
+    # cannot see, or report ambiguity — either way, guessing is wrong => no
+    # edge. Cross-depth candidates are NOT ties (the depth term separates
+    # them: the shallower declaration hides the base one). Method groups
+    # (m_args null) keep the deterministic min-key pick. Generic winners
+    # bind but emit NO edge (constructed display matches no declared node);
+    # the win still suppresses the extension fallback below.
+    a_amb = (unk & (F.col("_best._rank") >= 1000)
+             & (F.col("_best.member_key") != F.col("_maxk")))
+    member_edges = _as_edge(
+        aj.filter(F.col("_best").isNotNull() & ~a_amb
+                  & ~F.col("_best.is_generic"))
+        .withColumn("member_key", F.col("_best.member_key")),
+        "member_key")
+
+    # --- pass 2, path B (multi-candidate mentions): conversions search the
+    #     operand AND target types with explicit>implicit lookup order;
+    #     using-static calls search every imported type in import order;
+    #     base.M() binds in every declared base's scope. A compact per-mid
+    #     merge groupBy reconciles the candidates — the ONLY mention-scale
+    #     exchanges in the resolution (all three kinds are rare) ------------
+    conv = _with_mid(mentions.filter(kind.isin("conv_impl", "conv_expl")))
+    conv = _attach_type(
+        conv.select("repo", "mid", "m_kind", "m_from_key", "m_rel", "m_name",
+                    "m_nargs", "m_args", "m_usings", "path",
+                    F.explode(F.array_distinct(
+                        F.array("m_recv", "m_name"))).alias("_ctok"))
+        .withColumn("_ctok", _valid(F.col("_ctok"))),
+        F.col("_ctok"), "t", id_salt).filter(F.col("t_display").isNotNull())
+    impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
+    expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
+    conv_cand = conv.select(
+        "repo", "mid", "m_from_key", "m_rel", "m_nargs", "m_args",
+        "t_display",
+        F.posexplode(F.when(kind == "conv_impl", F.array(impl_name))
+                     .otherwise(F.array(expl_name, impl_name)))
+        .alias("lrank", "lookup"))
 
     # using-static imports: a bare call with no own member looks through the
     # file's `using static T;` types — the directive names the FULLY
@@ -604,189 +710,153 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     inherited_names = (members.filter(F.col("depth") >= 1)
                        .select("mm_repo", "type_display", "lookup_name")
                        .distinct())
-    us_cand = (dim.filter(kind == "invoke_ustatic")
-               .join(inherited_names,
-                     on=[F.col("repo") == F.col("mm_repo"),
-                         F.col("m_recv") == F.col("type_display"),
-                         F.col("m_name") == F.col("lookup_name")],
-                     how="left_anti")
-               .select("repo", "mid", "m_nargs",
-                       norm_args.alias("norm_args"),
+    us_cand = (_dict_join(_with_mid(mentions.filter(kind == "invoke_ustatic")),
+                          inherited_names,
+                          [F.col("repo") == F.col("mm_repo"),
+                           F.col("m_recv") == F.col("type_display"),
+                           F.col("m_name") == F.col("lookup_name")],
+                          "left_anti", bc, salt, id_salt)
+               .select("repo", "mid", "m_from_key", "m_rel", "m_nargs",
+                       "m_args",
                        F.posexplode(F.split(F.col("m_head"), US))
                        .alias("lrank", "t_display"),
                        F.col("m_name").alias("lookup")))
 
-    cand = member_mentions.select(
-        "repo", "mid", "m_nargs", norm_args.alias("norm_args"), "t_display",
-        F.posexplode(lookups).alias("lrank", "lookup")) \
-        .unionByName(chain_cand).unionByName(us_cand)
-    joined = cand.join(
-        members.hint("shuffle_hash"),
-        on=[F.col("repo") == F.col("mm_repo"),
-            F.col("t_display") == F.col("type_display"),
-            F.col("lookup") == F.col("lookup_name")],
-        how="inner")
-    rank = (
-        F.when(F.col("norm_args").isNotNull() & ~F.col("norm_args").contains("?")
-               & (F.col("params") == F.col("norm_args")), F.lit(0))
-        .when(F.col("m_nargs").isNull(), F.lit(1))
-        .when(F.col("nparams") == F.col("m_nargs"), F.lit(1))
-        # default-parameter fill: fewer args than declared params, but at
-        # least the required minimum — loses to any exact-arity candidate
-        # (Roslyn prefers candidates needing no optional fill)
-        .when((F.col("m_nargs") >= F.col("min_nparams"))
-              & (F.col("m_nargs") < F.col("nparams")), F.lit(2))
-        .otherwise(F.lit(99)))
-    # implicit-numeric-widening tie-break inside arity rank: Roslyn's
-    # betterness rules prefer the NEAREST target on the widening chain
-    # int -> long -> double (C# 7.4.6.2: long beats double for an int
-    # argument because long -> double converts implicitly and not back).
-    # Per zipped (arg, param) pair: 0 exact, 1/2 = chain distance, null =
-    # outside the chain (user types with conversion operators, strings,
-    # '?' unknowns — the lexer cannot rank those, so they keep the old
-    # neutral tie behavior via the WPEN_NEUTRAL penalty and, for '?', the
-    # ambiguity drop below).
-    wdist = F.expr(
-        "CASE WHEN m_nargs IS NULL OR norm_args IS NULL OR nparams != m_nargs"
-        " THEN NULL ELSE aggregate("
-        "  zip_with(split(norm_args, ', '), split(params, ', '),"
-        "    (a, p) -> CASE WHEN a = p THEN 0"
-        "                   WHEN a = 'int' AND p = 'long' THEN 1"
-        "                   WHEN a = 'int' AND p = 'double' THEN 2"
-        "                   WHEN a = 'long' AND p = 'double' THEN 1"
-        "                   ELSE NULL END),"
-        "  0, (acc, x) -> acc + x) END")  # null pair -> null sum (outside)
-    WPEN_NEUTRAL = 9
-    wpen = F.coalesce(wdist, F.lit(WPEN_NEUTRAL))
-    # rank folds (overload-rank, widening distance, inheritance depth,
-    # lookup order): an own member at arity rank still beats a base member
-    # at param-exact rank? No — Roslyn checks applicability per declaring
-    # scope from the most derived type outward, but hiding only kicks in
-    # for the SAME signature shape; the fold below prefers better overload
-    # rank first, then the nearer widening target, then the shallower
-    # declaration, matching the subset's hiding shapes
-    joined = joined.withColumn(
-        "_rank", rank * 1000 + wpen * 50 + F.col("depth") * 10
-        + F.col("lrank")) \
-        .filter(F.col("_rank") < 99000)
-    ranked = (
-        joined.groupBy("repo", "mid")
+    # base.M(): substitute the caller's own display with its declared
+    # base(s) (Roslyn base-access binds in the base type's scope); no base
+    # -> drop
+    base_cand = (_dict_join(_with_mid(mentions.filter(kind == "invoke_base")),
+                            bases,
+                            [F.col("repo") == F.col("b_repo"),
+                             F.col("m_recv") == F.col("derived_display")],
+                            "inner", bc, salt, id_salt)
+                 .select("repo", "mid", "m_from_key", "m_rel", "m_nargs",
+                         "m_args",
+                         F.col("base_display").alias("t_display"),
+                         F.lit(0).alias("lrank"),
+                         F.col("m_name").alias("lookup")))
+
+    path_b = (conv_cand.select(*us_cand.columns)
+              .unionByName(us_cand).unionByName(base_cand)
+              .withColumn("norm_args", norm_args))
+    bj = _dict_join(path_b, membersg,
+                    [F.col("repo") == F.col("mg_repo"),
+                     F.col("t_display") == F.col("mg_display"),
+                     F.col("lookup") == F.col("mg_lookup")],
+                    "inner", bc, salt, id_salt)
+    b_best, b_maxk = _member_best(F.col("mg_entries"), F.col("lrank"))
+    bj = (bj.withColumn("_best", b_best).withColumn("_maxk", b_maxk)
+          .filter(F.col("_best").isNotNull())
+          .select("repo", "mid", "m_from_key", "m_rel",
+                  F.col("_best._rank").alias("_rank"),
+                  F.col("_best.member_key").alias("_key"),
+                  F.col("_best.is_generic").alias("_gen"),
+                  F.col("_maxk").alias("_rowmax"), unk.alias("_unk")))
+    b_ranked = (
+        bj.groupBy("repo", "mid", "m_from_key", "m_rel")
         .agg(F.min("_rank").alias("_r0"),
-             F.expr("min_by(member_key, struct(_rank, member_key))")
-             .alias("member_key"),
-             F.expr("min_by(is_generic, struct(_rank, member_key))")
-             .alias("_isgen"),
-             # largest member_key AT the minimal rank: differs from
-             # member_key iff the winning rank is tied between >=2 members
-             F.expr("max_by(member_key, struct(-_rank, member_key))")
-             .alias("_maxk"),
-             F.max(F.coalesce(F.col("norm_args").contains("?"), F.lit(False)))
-             .alias("_unk"))
-    )
-    ranked = _p(ranked)
-    # arity-rank (rank 1 -> _rank 1000..1480) ties with unclassified args have
-    # no principled winner: Roslyn would bind via conversions the lexer
-    # cannot see, or report ambiguity — either way, guessing is wrong => no
-    # edge. Cross-depth candidates are NOT ties (the depth term separates
-    # them: the shallower declaration hides the base one). Method groups
-    # (m_args null) keep the deterministic min-key pick.
-    ambiguous = (F.col("_unk") & (F.col("_r0") >= 1000)
-                 & (F.col("member_key") != F.col("_maxk")))
-    # generic-method winners bind but emit NO edge: the reference keys the
-    # edge off the CONSTRUCTED symbol's display (Echo<string>(string) /
-    # Echo<int>(int) — SymbolMapper.BuildStableSymbolKey has no
-    # .OriginalDefinition), which matches no declared node and drops at
-    # MergeRelationships (MATCH, not MERGE). The win still counts for
-    # lookup: it keeps the call out of the extension-method fallback below,
-    # exactly like Roslyn's successful instance binding.
-    member_edges = _as_edge(
-        ranked.filter(~ambiguous).filter(~F.col("_isgen"))
-        .select("repo", "mid", "member_key")
-        .join(dim.select("repo", "mid", "m_from_key", "m_rel"),
-              ["repo", "mid"]),
-        "member_key")
+             F.expr("min_by(_key, struct(_rank, _key))").alias("member_key"),
+             F.expr("min_by(_gen, struct(_rank, _key))").alias("_isgen"),
+             F.expr("max_by(_rowmax, struct(-_rank, _rowmax))").alias("_maxk"),
+             F.max("_unk").alias("_bunk")))
+    b_amb = (F.col("_bunk") & (F.col("_r0") >= 1000)
+             & (F.col("member_key") != F.col("_maxk")))
+    member_edges_b = _as_edge(b_ranked.filter(~b_amb & ~F.col("_isgen")),
+                              "member_key")
 
     # --- extension-method fallback: receiver-typed calls that found NO
-    #     instance member on the resolved type bind to a static method whose
-    #     `this` parameter targets the receiver (Roslyn considers extensions
-    #     only when no applicable instance method exists). Subset convention:
-    #     the declared receiver token is the receiver type's simple name
-    #     (class names are unique per repo in the fixture corpus). -----------
-    exts = (mentions.filter(F.col("m_kind") == "extsig")
-            .select(F.col("repo").alias("e_repo"),
-                    F.col("m_recv").alias("e_recv"),
-                    F.col("m_name").alias("e_name"),
-                    F.col("m_nargs").alias("e_nargs"),
-                    F.when(F.col("m_args").isNull(), F.lit(""))
-                    .otherwise(F.array_join(F.split(F.col("m_args"), US), ", "))
-                    .alias("e_params"),
-                    F.col("m_head").alias("e_display"))
-            .distinct())
-    ext_base = (resolved_full.filter(kind == "invoke_via")
-                .join(ranked.select("repo", "mid"), ["repo", "mid"],
-                      "left_anti")
-                .select("repo", "mid", "m_name", "m_nargs",
-                        norm_args.alias("norm_args"),
+    #     applicable instance member on the resolved type bind to a static
+    #     method whose `this` parameter targets the receiver (Roslyn
+    #     considers extensions only when no applicable instance method
+    #     exists). Subset convention: the declared receiver token is the
+    #     receiver type's simple name (class names are unique per repo in
+    #     the fixture corpus). ----------------------------------------------
+    extsg = _p(
+        mentions.filter(F.col("m_kind") == "extsig")
+        .select(F.col("repo").alias("eg_repo"),
+                F.col("m_recv").alias("e_recv"),
+                F.col("m_name").alias("e_name"),
+                F.col("m_nargs").alias("e_nargs"),
+                F.when(F.col("m_args").isNull(), F.lit(""))
+                .otherwise(F.regexp_replace(F.col("m_args"), US, ", "))
+                .alias("e_params"),
+                F.col("m_head").alias("e_display"))
+        .distinct()
+        .groupBy("eg_repo", F.col("e_name").alias("eg_name"),
+                 F.col("e_recv").alias("eg_recv"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "e_params", "e_nargs", "e_display"))).alias("eg_entries")))
+    ext_base = (aj.filter((kind == "invoke_via") & F.col("_best").isNull())
+                .select("repo", "m_from_key", "m_rel", "m_name", "m_nargs",
+                        "norm_args",
                         F.element_at(F.split(F.col("t_display"), "\\."), -1)
                         .alias("t_simple")))
-    ej = ext_base.join(
-        exts,
-        on=[F.col("repo") == F.col("e_repo"),
-            F.col("m_name") == F.col("e_name"),
-            F.col("t_simple") == F.col("e_recv")],
-        how="inner")
-    erank = (F.when(F.col("norm_args").isNotNull()
-                    & ~F.col("norm_args").contains("?")
-                    & (F.col("e_params") == F.col("norm_args")), F.lit(0))
-             .when(F.col("m_nargs").isNull(), F.lit(1))
-             .when(F.col("e_nargs") == F.col("m_nargs"), F.lit(1))
-             .otherwise(F.lit(99)))
-    ej = ej.withColumn("_er", erank).filter(F.col("_er") < 99)
-    eranked = (
-        ej.groupBy("repo", "mid")
-        .agg(F.min("_er").alias("_e0"),
-             F.expr("min_by(e_display, struct(_er, e_display))")
-             .alias("e_display"),
-             F.expr("max_by(e_display, struct(-_er, e_display))")
-             .alias("_emax"),
-             F.max(F.coalesce(F.col("norm_args").contains("?"), F.lit(False)))
-             .alias("_eunk")))
-    e_amb = (F.col("_eunk") & (F.col("_e0") >= 1)
-             & (F.col("e_display") != F.col("_emax")))
+    ej = _dict_join(ext_base, extsg,
+                    [F.col("repo") == F.col("eg_repo"),
+                     F.col("m_name") == F.col("eg_name"),
+                     F.col("t_simple") == F.col("eg_recv")],
+                    "inner", bc, salt, id_salt)
+    e_nrm = F.col("norm_args")
+    e_appl = F.filter(
+        F.transform(
+            F.col("eg_entries"),
+            lambda e: F.struct(
+                (F.when(e_nrm.isNotNull() & ~e_nrm.contains("?")
+                        & (e["e_params"] == e_nrm), F.lit(0))
+                 .when(F.col("m_nargs").isNull(), F.lit(1))
+                 .when(e["e_nargs"] == F.col("m_nargs"), F.lit(1))
+                 .otherwise(F.lit(99))).alias("_er"),
+                e["e_display"].alias("e_display"))),
+        lambda x: x["_er"] < 99)
+    ej = ej.withColumn("_eappl", e_appl) \
+        .withColumn("_ebest", F.get(F.array_sort(F.col("_eappl")), 0))
+    e_max = F.array_max(F.transform(
+        F.filter(F.col("_eappl"),
+                 lambda x: x["_er"] == F.col("_ebest._er")),
+        lambda x: x["e_display"]))
+    e_amb = (unk & (F.col("_ebest._er") >= 1)
+             & (F.col("_ebest.e_display") != e_max))
     ext_edges = _as_edge(
-        eranked.filter(~e_amb)
-        .select("repo", "mid",
-                F.concat(F.col("repo"), F.lit(":"), F.col("e_display"))
-                .alias("member_key"))
-        .join(dim.select("repo", "mid", "m_from_key", "m_rel"),
-              ["repo", "mid"]),
+        ej.filter(F.col("_ebest").isNotNull() & ~e_amb)
+        .withColumn("member_key",
+                    F.concat(F.col("repo"), F.lit(":"),
+                             F.col("_ebest.e_display"))),
         "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
     #     namespaces are same-assembly => no edge (RoslynSymbolProcessor.cs:47-65)
-    um = dim.filter(kind == "using")
+    um = mentions.filter(kind == "using")
     ext_using = (
-        um.join(nss, on=[um.repo == nss.n_repo, um.m_name == nss.ns], how="left_anti")
+        _dict_join(um, nss,
+                   [um.repo == nss.n_repo, um.m_name == nss.ns],
+                   "left_anti", bc, salt, id_salt)
         .select("repo", F.col("m_from_key").alias("src_key"),
                 F.col("m_rel").alias("rel_type"),
                 F.concat(F.col("repo"), F.lit(":"), F.col("m_name")).alias("dst_key"))
     )
 
-    return (type_edges.unionByName(member_edges).unionByName(ext_edges)
-            .unionByName(ext_using))
+    return (type_edges.unionByName(member_edges)
+            .unionByName(member_edges_b)
+            .unionByName(ext_edges).unionByName(ext_using))
 
 
 def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:
     """J1/F9: keep edges whose BOTH endpoints exist as Symbol nodes in the
     same repo (MergeRelationships.cypher:1-5); output distinct triples
-    (apoc.merge.relationship is idempotent)."""
+    (apoc.merge.relationship is idempotent). The symbol-key side rides the
+    same byte gate as the dictionaries: broadcast semi-joins below it (the
+    key set is bounded by the gated input size), shuffle_hash at scale."""
     sk = symbols.select("repo", F.col("key").alias("_k")).distinct()
+    if _use_dict_broadcast(symbols):
+        src = F.broadcast(sk.withColumnRenamed("_k", "src_key"))
+        dst = F.broadcast(sk.withColumnRenamed("_k", "dst_key"))
+    else:
+        src = sk.withColumnRenamed("_k", "src_key").hint("shuffle_hash")
+        dst = sk.withColumnRenamed("_k", "dst_key").hint("shuffle_hash")
     return (
         candidate_edges
-        .join(sk.withColumnRenamed("_k", "src_key").hint("shuffle_hash"),
-              ["repo", "src_key"], "left_semi")
-        .join(sk.withColumnRenamed("_k", "dst_key").hint("shuffle_hash"),
-              ["repo", "dst_key"], "left_semi")
+        .join(src, ["repo", "src_key"], "left_semi")
+        .join(dst, ["repo", "dst_key"], "left_semi")
         .select("repo", "src_key", "rel_type", "dst_key")
         .distinct()
     )

@@ -120,6 +120,7 @@ def run_checkpointed(spark: SparkSession, run_dir: str, source: DataFrame,
     from codegraph import pipeline as P
 
     ledger = Ledger(run_dir)
+    P._gate_aqe(spark, source)  # also gates the dictionary join strategy
 
     filtered = P.apply_diff_filter(P.discover(source),
                                    pipeline_kwargs.pop("diff", None))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,17 +153,26 @@ AQE_MIN_BYTES = int(os.environ.get("CODEGRAPH_AQE_MIN_BYTES",
 
 
 def _gate_aqe(spark, source: DataFrame) -> None:
-    """Scale-gate for adaptive query execution. AQE pays a driver-side
-    re-planning round-trip per shuffle stage; across the ~60-stage edge DAG
-    that is pure critical-path latency when none of its wins can apply —
-    the linking joins are already shuffle-hash-hinted, partitions are
-    KB-MB-sized, and nothing re-plans differently (measured, paired
-    A/B/A/B at sf0.1: 51.6/52.8 s AQE-off vs 84.5/78.5 s AQE-on, the whole
-    delta in the edge phase). Below AQE_MIN_BYTES of listed file input the
-    run uses the classic planner; at or above it (or when the input is not
-    file-backed, can't be sized, or lists >256 files) AQE keeps the
-    session default — at 100 TB skew-join splitting and partition
-    coalescing are worth every re-plan."""
+    """Scale-gate for adaptive query execution AND the dictionary join
+    strategy. AQE pays a driver-side re-planning round-trip per shuffle
+    stage; across the edge DAG that is pure critical-path latency when none
+    of its wins can apply — partitions are KB-MB-sized and nothing re-plans
+    differently (measured, paired A/B/A/B at sf0.1: 51.6/52.8 s AQE-off vs
+    84.5/78.5 s AQE-on, the whole delta in the edge phase). Below
+    AQE_MIN_BYTES of listed file input the run uses the classic planner; at
+    or above it (or when the input is not file-backed, can't be sized, or
+    lists >256 files) AQE keeps the session default — at 100 TB skew-join
+    splitting and partition coalescing are worth every re-plan.
+
+    The same byte measurement gates ``codegraph.dict_broadcast`` (read by
+    link.py): below the gate the per-repo symbol dictionaries are a small
+    fraction of the input (measured <=2% of source bytes on the fixture
+    corpora) and are broadcast, so the mention side of every linking join
+    is never shuffled; at or above it — or when the input lists >256 files,
+    i.e. real scale — the dictionaries scale with the corpus, must not
+    concentrate on the driver, and every dictionary join falls back to the
+    shuffle_hash path. Each decision is logged once per run so a bench
+    artifact can always state which planner/join strategy ran."""
     if AQE_MIN_BYTES <= 0:
         return
     try:
@@ -170,7 +180,12 @@ def _gate_aqe(spark, source: DataFrame) -> None:
     except Exception:
         return  # in-memory source (tests, streaming batches): leave as-is
     if not inputs or len(inputs) > 256:
-        return  # many-file input is real scale; don't spend driver listing
+        # many-file input is real scale; don't spend driver listing time —
+        # keep AQE on and take the shuffle-hash dictionary path
+        spark.conf.set("codegraph.dict_broadcast", "false")
+        print(f"codegraph: gate: {len(inputs)} input files (>256) -> "
+              "AQE on, dict joins shuffle_hash", file=sys.stderr)
+        return
     sc = spark.sparkContext
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
@@ -181,8 +196,13 @@ def _gate_aqe(spark, source: DataFrame) -> None:
             total += p.getFileSystem(hconf).getFileStatus(p).getLen()
     except Exception:
         return
-    if total < AQE_MIN_BYTES:
+    small = total < AQE_MIN_BYTES
+    if small:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("codegraph.dict_broadcast", "true" if small else "false")
+    print(f"codegraph: gate: {total} input bytes -> "
+          f"AQE {'off' if small else 'session default'}, dict joins "
+          f"{'broadcast' if small else 'shuffle_hash'}", file=sys.stderr)
 
 
 def purge(spark, graph_dir: str, repo: str) -> None:
