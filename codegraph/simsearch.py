@@ -14,28 +14,83 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: str, b: str):
-    return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def _dot(a: str, b: str, dim: int | None = None):
+    """Dot product with the left-folded add order ((0.0 + p0) + p1) + ...
+    With ``dim`` known the fold unrolls to plain codegen'd arithmetic —
+    bit-identical doubles, an order of magnitude faster than the
+    interpreted higher-order aggregate, which stays as the fallback for
+    unknown dimensionality."""
+    if dim is None:
+        return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    e = F.lit(0.0)
+    for d in range(dim):
+        e = e + F.get(F.col(a), d) * F.get(F.col(b), d)
+    return e
 
 
 def _as_double(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+# query-side literal cap: above this the query set is no longer a bounded
+# dim and the pair generation falls back to the broadcast cross join
+MAX_LITERAL_QUERIES = 64
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Top-k cosine neighbors for the first ``n_queries`` vec_ids.
     cosine = dot(q, v) / sqrt(dot(q, q) * dot(v, v)), rounded to 6 dp BEFORE
-    ranking (deterministic cross-engine order); ties break on vec_id."""
+    ranking (deterministic cross-engine order); ties break on vec_id.
+
+    The query set is a bounded dim (n_queries rows): below
+    MAX_LITERAL_QUERIES it is collected ONCE — its cast vectors and
+    Spark-computed squared norms come back as double literals — and every
+    corpus row evaluates all |Q| cosines inside one codegen'd projection
+    (scan -> project -> explode -> window; no join). The arithmetic is the
+    same left-folded (0.0 + q0*v0) + q1*v1 ... chain on the same doubles,
+    so the scores are bit-identical to the join form, which remains the
+    over-cap fallback (a broadcast nested-loop join whose expressions
+    evaluate interpreted — measured ~4x slower per pair)."""
     emb = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
+    emb = emb.withColumn("_n2", _dot("embedding", "embedding"))
     q = (emb.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv")))
-    pairs = q.crossJoin(emb.select(F.col("vec_id"), F.col("embedding").alias("vv")))
-    pairs = pairs.filter(F.col("query_id") != F.col("vec_id"))
-    cos = F.round(
-        _dot("qv", "vv") / F.sqrt(_dot("qv", "qv") * _dot("vv", "vv")), 6)
-    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+                 F.col("embedding").alias("qv"), F.col("_n2").alias("_qn2")))
+    if n_queries <= MAX_LITERAL_QUERIES:
+        qrows = q.collect()  # bounded: at most MAX_LITERAL_QUERIES rows
+        entries = []
+        for r in qrows:
+            # query side stays the LEFT zip_with operand, so each product
+            # is q_d * v_d exactly as in the join form; unrolling all
+            # |Q| x dim terms instead would exceed the codegen method-size
+            # limit and fall back to (slower) full interpretation
+            qarr = F.array(*[F.lit(v) for v in r["qv"]])
+            dot = F.aggregate(
+                F.zip_with(qarr, F.col("embedding"), lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            cos = F.round(
+                dot / F.sqrt(F.lit(r["_qn2"]) * F.col("_n2")), 6)
+            entries.append(F.struct(
+                F.lit(r["query_id"]).alias("query_id"), cos.alias("cosine")))
+        if not entries:
+            scored = emb.select(
+                F.col("vec_id").alias("query_id"), "vec_id",
+                F.lit(0.0).alias("cosine")).limit(0)
+        else:
+            scored = (emb.select(
+                "vec_id", F.explode(F.array(*entries)).alias("qc"))
+                .select(F.col("qc.query_id").alias("query_id"), "vec_id",
+                        F.col("qc.cosine").alias("cosine"))
+                .filter(F.col("query_id") != F.col("vec_id")))
+    else:
+        pairs = q.crossJoin(emb.select(F.col("vec_id"),
+                                       F.col("embedding").alias("vv"),
+                                       F.col("_n2").alias("_vn2")))
+        pairs = pairs.filter(F.col("query_id") != F.col("vec_id"))
+        cos = F.round(
+            _dot("qv", "vv") / F.sqrt(F.col("_qn2") * F.col("_vn2")), 6)
+        scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -121,6 +176,10 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         n_planes = n_planes_for(n, target_bucket)
 
     def bucket_expr(table: int):
+        # the plane dots stay in aggregate/zip_with form: unrolling all
+        # n_tables x n_planes x dim terms into one projection exceeds the
+        # codegen method-size limit and falls back to full interpretation
+        # (measured 5x SLOWER than the higher-order fold)
         planes = _hyperplanes(dim, n_planes, table)
         bits = []
         for pi, plane in enumerate(planes):
@@ -157,8 +216,9 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     v = emb.select("vec_id", F.col("embedding").alias("vv"))
     scored = (cands.join(q, "query_id").join(v, "vec_id")
               .select("query_id", "vec_id",
-                      F.round(_dot("qv", "vv") /
-                              F.sqrt(_dot("qv", "qv") * _dot("vv", "vv")), 6)
+                      F.round(_dot("qv", "vv", dim) /
+                              F.sqrt(_dot("qv", "qv", dim)
+                                     * _dot("vv", "vv", dim)), 6)
                       .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())

@@ -77,11 +77,21 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return d.select("doc_id", F.explode(sh).alias("shingle"))
 
 
+def _once(df: DataFrame) -> DataFrame:
+    """Materialize a frame consumed by several plan branches exactly once
+    per invocation (lazy localCheckpoint: computed inside the first action,
+    shared by every reference, re-computed on every fresh call — nothing
+    persists across bench/oracle invocations). Without it Catalyst
+    re-executes the shingle scan+explode once per referencing subtree
+    (sizes, both inverted-index sides, the signature pass)."""
+    return df.localCheckpoint(eager=False)
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram jaccard >= threshold via an inverted shingle index —
     pairs sharing at least one shingle (never the full cross join), then
     |A∩B| / (|A|+|B|-|A∩B|)."""
-    sh = shingles(docs)
+    sh = _once(shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -118,10 +128,15 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def lsh_candidates(docs: DataFrame, bands: int = 16,
                    rows_per_band: int = 4) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b). Each band's bucket is the
-    hash of its r-tuple of minhashes; only same-(band, bucket) pairs join."""
+    return _lsh_candidates_from(shingles(docs), bands, rows_per_band)
+
+
+def _lsh_candidates_from(sh: DataFrame, bands: int = 16,
+                         rows_per_band: int = 4) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from a (doc_id, shingle)
+    frame. Each band's bucket is the hash of its r-tuple of minhashes; only
+    same-(band, bucket) pairs join."""
     k = bands * rows_per_band
-    sh = shingles(docs)
     h = F.expr(_token_hash_sql("shingle")).alias("h0")
     sh_h = sh.select("doc_id", h)
     # k permutation hashes: h_i = (a_i*h0 + b_i) mod p (universal family)
@@ -152,14 +167,21 @@ def lsh_candidates(docs: DataFrame, bands: int = 16,
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       bands: int = 16, rows_per_band: int = 4) -> DataFrame:
-    candidates = lsh_candidates(docs, bands, rows_per_band)
-    exact = jaccard_pairs_for(docs, candidates)
+    # ONE shingle pass feeds the signature build, the per-doc sizes, and
+    # both inverted-index sides of the exact verify (was four full
+    # scan+explode passes re-executed by Catalyst)
+    sh = _once(shingles(docs))
+    candidates = _lsh_candidates_from(sh, bands, rows_per_band)
+    exact = _jaccard_pairs_for_sh(sh, candidates)
     return exact.filter(F.col("jaccard") >= threshold)
 
 
 def jaccard_pairs_for(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    return _jaccard_pairs_for_sh(_once(shingles(docs)), candidates)
+
+
+def _jaccard_pairs_for_sh(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact jaccard restricted to candidate pairs."""
-    sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.withColumnRenamed("doc_id", "id_a")
     b = sh.withColumnRenamed("doc_id", "id_b")
@@ -214,16 +236,28 @@ def cosine_lsh_candidates(vectors: DataFrame, bands: int = 42,
     nnz x k hash evaluations inside whole-stage codegen, linear-scan
     parallel — the 100 TB shape."""
     k = bands * rows_per_band
-    vec = (vectors.groupBy("doc_id")
-           .agg(F.collect_list(F.struct("bucket", "cnt")).alias("v")))
-    projs = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda p: F.aggregate(
-            F.col("v"), F.lit(0).cast("long"),
-            lambda acc, x: acc + x["cnt"]
-            * (F.pmod(F.xxhash64(x["bucket"], p), F.lit(2)) * 2 - 1)))
-    bits = F.concat_ws("", F.transform(
-        projs, lambda pr: F.when(pr >= 0, F.lit("1")).otherwise(F.lit("0"))))
+    # sign(bucket, p) = pmod(xxhash64(bucket, p), 2)*2 - 1, precomputed once
+    # per DISTINCT dimension bucket (|dim| rows, broadcast) instead of
+    # nnz x k interpreted xxhash evaluations per document; the per-doc fold
+    # then only multiplies counts against the precomputed sign rows. Sign
+    # inputs/types are identical, and the integer sums are order-invariant,
+    # so the signatures are bit-identical to the per-entry evaluation.
+    signs = (vectors.select("bucket").distinct()
+             .withColumn("signs", F.transform(
+                 F.sequence(F.lit(0), F.lit(k - 1)),
+                 lambda p: F.pmod(F.xxhash64(F.col("bucket"), p),
+                                  F.lit(2)) * 2 - 1)))
+    # k sum-aggregate columns (one per projection) instead of a per-doc
+    # interpreted fold over collected entries: the multiply-adds run inside
+    # codegen'd HashAggregate update expressions, and the integer sums are
+    # order-invariant, so the signature bits are unchanged
+    vec = (vectors.join(F.broadcast(signs), "bucket")
+           .groupBy("doc_id")
+           .agg(*[F.sum(F.col("cnt") * F.get("signs", p)).alias(f"_pr{p}")
+                  for p in range(k)]))
+    bits = F.concat_ws("", F.array(*[
+        F.when(F.col(f"_pr{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(k)]))
     sig = vec.select("doc_id", bits.alias("bits"))
     bands_df = (sig.select(
         "doc_id",
@@ -277,7 +311,9 @@ def embedding_cosine_dedup(docs: DataFrame, dim: int = 256,
     baseline: pairs meet on shared buckets — exact, but every hot bucket
     pairs its whole population, which degenerates at scale when background
     similarity keeps hot buckets populated."""
-    v = doc_vectors(docs, dim)
+    # one tokenize+hash+count pass feeds the norms, the LSH signatures, and
+    # both dot-product sides (was four re-executed vector builds)
+    v = _once(doc_vectors(docs, dim))
     sqn = v.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("sq"))
     if prefilter:
         cand = cosine_lsh_candidates(v, bands, rows_per_band)
@@ -305,17 +341,19 @@ def embedding_cosine_dedup(docs: DataFrame, dim: int = 256,
 
 
 def simhash(docs: DataFrame, bits: int = 31) -> DataFrame:
+    # one aggregation with ``bits`` vote columns instead of exploding every
+    # token row ``bits`` ways (same integer votes — sum order irrelevant —
+    # but the shuffle moves 31 longs per doc, not 31 rows per token, and
+    # the two-level groupBy collapses to one)
     toks = (docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
             .withColumn("h", F.expr(_token_hash_sql("tok"))))
-    bit = toks.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "h")
-    votes = (bit.withColumn(
-        "vote", F.expr("(shiftright(h, b) % 2) * 2 - 1"))
-        .groupBy("doc_id", "b").agg(F.sum("vote").alias("v")))
-    return (votes.withColumn(
-        "bitval", F.expr("CASE WHEN v >= 0 THEN shiftleft(1L, b) ELSE 0L END"))
-        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"(shiftright(h, {b}) % 2) * 2 - 1")).alias(f"v{b}")
+        for b in range(bits)])
+    bitsum = F.expr(" + ".join(
+        f"CASE WHEN v{b} >= 0 THEN shiftleft(1L, {b}) ELSE 0L END"
+        for b in range(bits)))
+    return votes.select("doc_id", bitsum.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
