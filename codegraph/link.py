@@ -256,6 +256,77 @@ def _dict_join(left: DataFrame, right: DataFrame, cond: list, how: str,
     return left.join(right.hint("shuffle_hash"), on=cond, how=how)
 
 
+# SQL fragments for the in-expression candidate ranking. Building these as
+# single parsed strings (instead of nested python Column operators) matters:
+# every python-side Column operation is a py4j round-trip and every
+# DataFrame operation re-runs analysis, so the old builder spent more
+# driver wall on plan CONSTRUCTION than the cluster spent executing it
+# (measured 27k py4j round-trips ~= 5 s per pipeline build).
+
+_NGLOB_SQL = ("size(array_distinct(transform("
+              "filter(tg_entries, e -> e.is_global), e -> e.type_key)))")
+
+
+def _twin_sql(usings: str = "m_usings") -> str:
+    """First-match-wins namespace scan over the grouped type entries:
+    local candidates ranked by their m_usings position, global-using
+    candidates at _GLOBAL_PRIO, min (prio, type_key) wins."""
+    pos = f"array_position(split({usings}, '{US}'), e.ns)"
+    return (
+        f"get(array_sort(filter(transform(tg_entries, e -> named_struct("
+        f"'prio', CASE WHEN {pos} > 0 THEN {pos} - 1 "
+        f"WHEN e.is_global THEN {_GLOBAL_PRIO} END, "
+        f"'type_key', e.type_key, 'type_display', e.type_display)), "
+        f"x -> x.prio IS NOT NULL)), 0)")
+
+
+def _member_appl_sql(entries: str, lrank: str) -> str:
+    """Applicable-overload list with the folded rank: overload rank
+    (param-token equality 0 / arity or method-group 1 / default-fill 2 /
+    inapplicable 99) * 1000 + widening penalty * 50 + inheritance depth
+    * 10 + lookup order; entries at rank >= 99000 drop (Roslyn overload
+    resolution failure => no edge)."""
+    rank = ("CASE WHEN norm_args IS NOT NULL AND NOT contains(norm_args, '?')"
+            " AND e.params = norm_args THEN 0"
+            " WHEN m_nargs IS NULL THEN 1"
+            " WHEN e.nparams = m_nargs THEN 1"
+            " WHEN m_nargs >= e.min_nparams AND m_nargs < e.nparams THEN 2"
+            " ELSE 99 END")
+    # implicit-numeric-widening distance on the int -> long -> double chain
+    # (C# 7.4.6.2 betterness); null = outside the chain -> neutral penalty
+    wdist = ("CASE WHEN m_nargs IS NULL OR norm_args IS NULL"
+             " OR e.nparams != m_nargs THEN CAST(NULL AS INT)"
+             " ELSE aggregate(zip_with("
+             "split(norm_args, ', '), split(e.params, ', '),"
+             " (a, p) -> CASE WHEN a = p THEN 0"
+             " WHEN a = 'int' AND p = 'long' THEN 1"
+             " WHEN a = 'int' AND p = 'double' THEN 2"
+             " WHEN a = 'long' AND p = 'double' THEN 1"
+             " ELSE CAST(NULL AS INT) END), 0, (acc, x) -> acc + x) END")
+    return (f"filter(transform({entries}, e -> named_struct("
+            f"'_rank', ({rank}) * 1000 + coalesce({wdist}, {_WPEN_NEUTRAL})"
+            f" * 50 + e.depth * 10 + {lrank}, "
+            f"'member_key', e.member_key, 'is_generic', e.is_generic)), "
+            f"x -> x._rank < 99000)")
+
+
+# largest member_key among the candidates tied AT the winning rank —
+# differs from the winner iff the rank is tied between >= 2 members
+_MAXK_SQL = ("array_max(transform(filter(_appl, x -> x._rank = _best._rank),"
+             " x -> x.member_key))")
+
+# arity-rank ties (rank 1 -> _rank 1000..1480) with unclassified args have
+# no principled winner: Roslyn would bind via conversions the lexer cannot
+# see, or report ambiguity — either way, guessing is wrong => no edge.
+# Generic winners bind but emit NO edge (the reference keys edges off the
+# CONSTRUCTED display, which matches no declared node); the win still
+# counts for lookup order.
+_A_OK_SQL = ("_best IS NOT NULL AND NOT ("
+             "coalesce(contains(norm_args, '?'), false)"
+             " AND _best._rank >= 1000 AND _best.member_key != _maxk)"
+             " AND NOT _best.is_generic")
+
+
 def resolve_mentions(records: DataFrame, symbols: DataFrame,
                      salt: int = 0, persist: bool = False) -> DataFrame:
     """mention records -> resolved candidate edges (repo, src_key, rel_type,
@@ -283,13 +354,25 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     def _p(df: DataFrame) -> DataFrame:
         return df.persist()
 
+    def _ck(df: DataFrame) -> DataFrame:
+        # grouped dictionaries: a lazy localCheckpoint both materializes the
+        # frame once (MEMORY_AND_DISK blocks, computed inside the first
+        # action) and truncates the logical plan to a flat LogicalRDD leaf,
+        # so the 2-6 joins consuming each dictionary stop re-analyzing its
+        # build subtree on every downstream DataFrame operation (driver
+        # plan-construction time was rivaling execution time). Trade-off vs
+        # persist(): blocks release on GC rather than clearCache, and an
+        # executor loss recomputes nothing — acceptable for bounded
+        # dictionary frames.
+        return df.localCheckpoint(eager=False)
+
     bc = _use_dict_broadcast(records)
     types, members, nss = build_dictionaries(symbols)
     mentions = _p(records.filter(F.col("rec") == "mention")
                   .select(*_MENTION_ID_COLS))
     kind = F.col("m_kind")
-    kw = F.array(*[F.lit(k) for k in sorted(KEYWORD_TYPES)])
-    ext_names = F.array(*[F.lit(k) for k in EXTERNAL_TYPE_DISPLAY])
+    kw_list = ", ".join(f"'{k}'" for k in sorted(KEYWORD_TYPES))
+    ext_list = ", ".join(f"'{k}'" for k in EXTERNAL_TYPE_DISPLAY)
 
     # repo-wide global-using namespace pool (RoslynSymbolProcessor.cs:68-99)
     global_ns = (mentions.filter(F.col("m_kind") == "global_using")
@@ -300,7 +383,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     # --- grouped type dictionary: ONE row per (repo, simple name) with the
     #     declaring-namespace entries; is_global marks namespaces reachable
     #     through the repo's global-using pool ------------------------------
-    typesg = _p(
+    typesg = _ck(
         types.join(F.broadcast(global_ns) if bc else global_ns,
                    on=[types.t_repo == global_ns.g_repo,
                        types.ns == global_ns.g_ns], how="left")
@@ -312,69 +395,53 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
             "ns", "type_key", "type_display", "is_global")))
             .alias("tg_entries")))
 
-    def _attach_type(df: DataFrame, tok: Column, prefix: str,
-                     lsalt: Column | None = None) -> DataFrame:
-        """Resolve ``tok`` against the ordered candidate-namespace list in
-        ``m_usings`` (file namespace + local usings, then the repo's global
-        usings at _GLOBAL_PRIO). Adds ``<prefix>_key`` / ``<prefix>_display``
-        columns; NULL when the token is unresolvable (Roslyn error type) or
-        reachable ONLY through >=2 competing global usings (CS0104). One
-        grouped-dictionary join; the first-match-wins scan of the namespace
-        list runs in-expression."""
-        j = _dict_join(df.withColumn("_rtok", tok), typesg,
-                       [F.col("repo") == F.col("tg_repo"),
-                        F.col("_rtok") == F.col("tg_name")],
-                       "left", bc, salt, lsalt)
-        usings = F.split(F.col("m_usings"), US)
-
-        def _pos(e):
-            return F.array_position(usings, e["ns"])
-
-        matched = F.filter(F.col("tg_entries"),
-                           lambda e: (_pos(e) > 0) | e["is_global"])
-        scored = F.transform(
-            matched,
-            lambda e: F.struct(
-                F.when(_pos(e) > 0, _pos(e) - 1)
-                .otherwise(F.lit(_GLOBAL_PRIO)).alias("prio"),
-                e["type_key"].alias("type_key"),
-                e["type_display"].alias("type_display")))
-        nglob = F.size(F.array_distinct(F.transform(
-            F.filter(matched, lambda e: e["is_global"]),
-            lambda e: e["type_key"])))
-        j = j.withColumn("_twin", F.get(F.array_sort(scored), 0)) \
-            .withColumn("_tok_", (F.col("_twin").isNotNull()
-                                  & ((F.col("_twin.prio") < _GLOBAL_PRIO)
-                                     | (nglob <= 1))))
-        return (j.withColumn(f"{prefix}_key",
-                             F.when(F.col("_tok_"), F.col("_twin.type_key")))
-                .withColumn(f"{prefix}_display",
-                            F.when(F.col("_tok_"),
-                                   F.col("_twin.type_display")))
-                .drop("_rtok", "_twin", "_tok_",
-                      "tg_repo", "tg_name", "tg_entries"))
-
-    # mention-kind token validity (Roslyn: keywords/BCL names are never
-    # in-repo types -> no resolution attempt)
-    def _valid(tok: Column) -> Column:
-        return F.when(tok.isNotNull() & (tok != "")
-                      & ~F.array_contains(kw, tok)
-                      & ~tok.startswith("System."), tok)
-
     # per-row routing hash for the shuffle-path salt: only columns present
     # on EVERY mention-derived frame (m_from_key varies per call site, which
     # is what spreads a hot dictionary key across partitions)
     id_salt = F.xxhash64("repo", "m_from_key",
                          F.coalesce(F.col("m_name"), F.lit("\x00")))
 
+    def _attach_type(df: DataFrame, tok, prefix: str,
+                     usings: str = "m_usings", lsalt=None) -> DataFrame:
+        """Resolve ``tok`` against the ordered candidate-namespace list in
+        ``usings`` (file namespace + local usings, then the repo's global
+        usings at _GLOBAL_PRIO). Adds ``<prefix>_key`` / ``<prefix>_display``
+        columns; NULL when the token is unresolvable (Roslyn error type) or
+        reachable ONLY through >=2 competing global usings (CS0104). One
+        grouped-dictionary join; the first-match-wins scan of the namespace
+        list runs in-expression."""
+        j = _dict_join(df.select("*", tok.alias("_rtok")), typesg,
+                       [F.col("repo") == F.col("tg_repo"),
+                        F.col("_rtok") == F.col("tg_name")],
+                       "left", bc, salt, lsalt)
+        j = j.select("*", F.expr(_twin_sql(usings)).alias("_twin"),
+                     F.expr(_NGLOB_SQL).alias("_tng"))
+        keep = [c for c in j.columns if c not in (
+            "_rtok", "_twin", "_tng", "tg_repo", "tg_name", "tg_entries")]
+        ok = (f"CASE WHEN _twin IS NOT NULL AND (_twin.prio < {_GLOBAL_PRIO}"
+              f" OR _tng <= 1) THEN _twin.{{f}} END")
+        return j.select(
+            *keep,
+            F.expr(ok.format(f="type_key")).alias(f"{prefix}_key"),
+            F.expr(ok.format(f="type_display")).alias(f"{prefix}_display"))
+
+    # mention-kind token validity (Roslyn: keywords/BCL names are never
+    # in-repo types -> no resolution attempt)
+    def _valid(tok_sql: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN ({tok_sql}) IS NOT NULL AND ({tok_sql}) != ''"
+            f" AND ({tok_sql}) NOT IN ({kw_list})"
+            f" AND NOT startswith({tok_sql}, 'System.')"
+            f" THEN {tok_sql} END")
+
     # --- pass 1: type resolution for single-token mention kinds ------------
     p1 = _attach_type(
         mentions.filter(kind.isin("type", "ctor", "invoke_via",
                                   "invoke_static", "op", "chain_via")),
-        _valid(F.when(kind.isin("type", "ctor"), F.col("m_name"))
-               .otherwise(F.col("m_recv"))),
-        "t", id_salt)
-    p1 = _p(p1.filter(F.col("t_display").isNotNull() | (kind == "type")))
+        _valid("CASE WHEN m_kind IN ('type', 'ctor') THEN m_name"
+               " ELSE m_recv END"),
+        "t", lsalt=id_salt)
+    p1 = _ck(p1.filter(F.col("t_display").isNotNull() | (kind == "type")))
 
     type_edges = _as_edge(
         p1.filter((kind == "type") & F.col("t_key").isNotNull()), "t_key")
@@ -384,9 +451,9 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     #     invocation, chain tail, extension-fallback trigger) sees base
     #     members at a deeper rank — Roslyn binds the call to the BASE's
     #     declaring symbol, and an own member hides a base member ------------
-    bases = _p(
+    bases = _ck(
         _attach_type(mentions.filter(F.col("m_kind") == "basesig"),
-                     F.col("m_name"), "b", id_salt)
+                     F.col("m_name"), "b", lsalt=id_salt)
         .filter(F.col("b_display").isNotNull())
         .select(F.col("repo").alias("b_repo"),
                 F.col("m_recv").alias("derived_display"),
@@ -429,7 +496,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
 
     # --- grouped member dictionary: ONE row per (repo, type display, lookup
     #     name) holding the overload entries --------------------------------
-    membersg = _p(
+    membersg = _ck(
         members.groupBy(F.col("mm_repo").alias("mg_repo"),
                         F.col("type_display").alias("mg_display"),
                         F.col("lookup_name").alias("mg_lookup"))
@@ -437,57 +504,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
             "nparams", "params", "is_generic", "member_key", "depth",
             "min_nparams"))).alias("mg_entries")))
 
-    norm_args = F.when(F.col("m_args").isNull(), F.lit(None).cast("string")) \
-        .otherwise(F.regexp_replace(F.col("m_args"), US, ", "))
-
-    # per-entry overload rank (Roslyn overload resolution analog), widening
-    # distance (C# 7.4.6.2 betterness on int -> long -> double), inheritance
-    # depth, and lookup order folded into one comparable _rank — identical
-    # arithmetic to the round-6 ranked groupBy, evaluated per entry list
-    def _member_best(entries: Column, lrank: Column):
-        nargs = F.col("m_nargs")
-        nrm = F.col("norm_args")
-
-        def _rank_of(e):
-            rank = (
-                F.when(nrm.isNotNull() & ~nrm.contains("?")
-                       & (e["params"] == nrm), F.lit(0))
-                .when(nargs.isNull(), F.lit(1))
-                .when(e["nparams"] == nargs, F.lit(1))
-                # default-parameter fill: fewer args than declared params,
-                # but at least the required minimum — loses to any
-                # exact-arity candidate
-                .when((nargs >= e["min_nparams"]) & (nargs < e["nparams"]),
-                      F.lit(2))
-                .otherwise(F.lit(99)))
-            wdist = F.when(
-                nargs.isNull() | nrm.isNull() | (e["nparams"] != nargs),
-                F.lit(None).cast("int")).otherwise(
-                F.aggregate(
-                    F.zip_with(
-                        F.split(nrm, ", "), F.split(e["params"], ", "),
-                        lambda a, p: F.when(a == p, F.lit(0))
-                        .when((a == "int") & (p == "long"), F.lit(1))
-                        .when((a == "int") & (p == "double"), F.lit(2))
-                        .when((a == "long") & (p == "double"), F.lit(1))
-                        .otherwise(F.lit(None).cast("int"))),
-                    F.lit(0).cast("int"), lambda acc, x: acc + x))
-            wpen = F.coalesce(wdist, F.lit(_WPEN_NEUTRAL))
-            return rank * 1000 + wpen * 50 + e["depth"] * 10 + lrank
-
-        appl = F.filter(
-            F.transform(entries, lambda e: F.struct(
-                _rank_of(e).alias("_rank"),
-                e["member_key"].alias("member_key"),
-                e["is_generic"].alias("is_generic"))),
-            lambda x: x["_rank"] < 99000)
-        best = F.get(F.array_sort(appl), 0)
-        maxk = F.array_max(F.transform(
-            F.filter(appl, lambda x: x["_rank"] == best["_rank"]),
-            lambda x: x["member_key"]))
-        return best, maxk
-
-    unk = F.coalesce(F.col("norm_args").contains("?"), F.lit(False))
+    norm_args = F.expr(f"CASE WHEN m_args IS NULL THEN CAST(NULL AS STRING)"
+                       f" ELSE regexp_replace(m_args, '{US}', ', ') END")
 
     # --- chained calls: fold each hop through the grouped retsig/propsig
     #     dictionary; the winning pre-resolved display becomes the next
@@ -509,9 +527,9 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                         F.col("m_recv").alias("rt_display"),
                         F.col("m_name").alias("r_name"),
                         F.col("m_nargs").alias("r_nparams"),
-                        F.when(F.col("m_args").isNull(), F.lit(""))
-                        .otherwise(F.regexp_replace(F.col("m_args"), US, ", "))
-                        .alias("r_params"),
+                        F.expr(f"CASE WHEN m_args IS NULL THEN ''"
+                               f" ELSE regexp_replace(m_args, '{US}', ', ')"
+                               f" END").alias("r_params"),
                         F.col("m_head").alias("r_ret"),
                         F.col("m_usings"))
                 .withColumn("r_prop", F.lit(False)))
@@ -529,19 +547,19 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                          F.col("m_usings"))
                  .withColumn("r_prop", F.lit(True)))
     rets_raw = rets_raw.unionByName(props_raw).distinct()
-    unwrap_tok = F.regexp_extract(
-        F.col("r_ret"),
-        r"^(?:System\.Threading\.Tasks\.)?(?:Task|ValueTask)<(.+)>$", 1)
+    unwrap = (r"regexp_extract(r_ret, '^(?:System\\.Threading\\.Tasks\\.)?"
+              r"(?:Task|ValueTask)<(.+)>$', 1)")
 
-    def _ret_valid(tok: Column) -> Column:
-        return F.when((tok != "") & ~F.array_contains(kw, tok)
-                      & ~tok.startswith("System.")
-                      & ~F.array_contains(ext_names, tok), tok)
+    def _ret_valid(tok_sql: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN ({tok_sql}) != '' AND ({tok_sql}) NOT IN ({kw_list})"
+            f" AND NOT startswith({tok_sql}, 'System.')"
+            f" AND ({tok_sql}) NOT IN ({ext_list}) THEN {tok_sql} END")
 
-    ret_salt = F.xxhash64("repo", "rt_display", "r_name")
-    rets = _attach_type(rets_raw, _ret_valid(F.col("r_ret")), "rr", ret_salt)
-    rets = _attach_type(rets, _ret_valid(unwrap_tok), "ra", ret_salt)
-    retsg = _p(
+    ret_salt = F.expr("xxhash64(repo, rt_display, r_name)")
+    rets = _attach_type(rets_raw, _ret_valid("r_ret"), "rr", lsalt=ret_salt)
+    rets = _attach_type(rets, _ret_valid(unwrap), "ra", lsalt=ret_salt)
+    retsg = _ck(
         rets.groupBy(F.col("repo").alias("rg_repo"),
                      F.col("rt_display").alias("rg_display"),
                      F.col("r_name").alias("rg_name"),
@@ -557,27 +575,50 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     ch_via = p1.filter(kind == "chain_via").select(*chain_keep, "m_head",
                                                   "t_display")
     ch_own = (mentions.filter(kind == "chain_own")
-              .withColumn("t_display", F.col("m_recv"))
-              .select(*chain_keep, "m_head", "t_display"))
+              .select(*chain_keep, "m_head",
+                      F.col("m_recv").alias("t_display")))
     state = (ch_via.unionByName(ch_own)
              .select(*chain_keep, "t_display",
-                     F.split(F.col("m_head"), RS).alias("hops")))
+                     F.expr(f"split(m_head, '{RS}')").alias("hops")))
+    # hop parse + active flag in ONE projection; the per-hop overload rank,
+    # the head-ambiguity check (RAW token compare — two
+    # unresolvable-but-different overload returns still tie), and the next
+    # receiver pick in two more. Inactive rows (done or dead) carry a NULL
+    # join key and pass through unchanged.
+    _active = "(size(hops) > 0 AND t_display IS NOT NULL)"
+    _hp = f"split(get(hops, 0), '{US}')"
+    _hop_cols = [
+        f"CASE WHEN {_active} THEN regexp_replace(get({_hp}, 0), '^@', '')"
+        f" END AS _hname",
+        f"startswith(get({_hp}, 0), '@') AS _hawait",
+        f"CASE WHEN {_active} THEN get({_hp}, 1) = 'P' END AS _hprop",
+        f"CASE WHEN {_active} THEN CASE WHEN get({_hp}, 1) = 'P' THEN -1"
+        f" ELSE cast(get({_hp}, 1) AS int) END END AS _hnargs",
+        f"array_join(slice({_hp}, 3, greatest(size({_hp}) - 2, 0)), ', ')"
+        f" AS _hargs",
+    ]
+    _happl = ("filter(transform(rg_entries, e -> named_struct("
+              "'_hr', CASE WHEN NOT contains(_hargs, '?')"
+              " AND e.r_params = _hargs THEN 0"
+              " WHEN e.r_nparams = _hnargs THEN 1 ELSE 99 END, "
+              "'r_params', e.r_params, 'r_ret', e.r_ret, "
+              "'ret_display', e.ret_display, "
+              "'await_display', e.await_display)), x -> x._hr < 99)")
+    _minr = "get(array_sort(_appl), 0)"
+    _maxr = (f"array_max(transform(filter(_appl, x -> x._hr = ({_minr})._hr),"
+             f" x -> named_struct('r_params', x.r_params, 'r_ret', x.r_ret)))")
+    _hamb = (f"(contains(_hargs, '?') AND ({_minr})._hr >= 1"
+             f" AND (({_minr}).r_params != ({_maxr}).r_params"
+             f" OR ({_minr}).r_ret != ({_maxr}).r_ret))")
+    _next = (f"CASE WHEN NOT {_active} THEN t_display"
+             f" WHEN ({_minr}) IS NULL OR {_hamb} THEN CAST(NULL AS STRING)"
+             f" WHEN _hawait THEN ({_minr}).await_display"
+             f" ELSE ({_minr}).ret_display END")
+    _step = (f"CASE WHEN {_active}"
+             f" THEN slice(hops, 2, greatest(size(hops) - 1, 0))"
+             f" ELSE hops END")
     for _hop in range(MAX_CHAIN_HOPS):
-        active = (F.size("hops") > 0) & F.col("t_display").isNotNull()
-        hp = F.split(F.get(F.col("hops"), 0), US)
-        raw_name = F.get(hp, 0)
-        h_name = F.regexp_replace(raw_name, "^@", "")
-        h_await = raw_name.startswith("@")
-        is_prop = F.get(hp, 1) == F.lit("P")
-        h_nargs = F.when(is_prop, F.lit(-1)) \
-            .otherwise(F.get(hp, 1).cast("int"))
-        h_args = F.array_join(
-            F.slice(hp, F.lit(3), F.greatest(F.size(hp) - 2, F.lit(0))), ", ")
-        st = (state.withColumn("_hname", F.when(active, h_name))
-              .withColumn("_hawait", h_await)
-              .withColumn("_hprop", F.when(active, is_prop))
-              .withColumn("_hnargs", F.when(active, h_nargs))
-              .withColumn("_hargs", h_args))
+        st = state.selectExpr("*", *_hop_cols)
         hj = _dict_join(
             st, retsg,
             [F.col("repo") == F.col("rg_repo"),
@@ -585,47 +626,9 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
              F.col("_hname") == F.col("rg_name"),
              F.col("_hprop") == F.col("rg_prop")],
             "left", bc, salt, id_salt)
-        # per-hop overload rank over the grouped entries: exact classified
-        # args (0) beats arity (1); an arity-rank winner with unclassified
-        # args tying >=2 entries differing in params or raw return is a
-        # Roslyn error -> the whole chain drops. Comparison uses the RAW
-        # token columns, not the resolved displays, so two
-        # unresolvable-but-different overload returns still count as a tie.
-        hargs = F.col("_hargs")
-        appl = F.filter(
-            F.transform(
-                F.col("rg_entries"),
-                lambda e: F.struct(
-                    (F.when(~hargs.contains("?")
-                            & (e["r_params"] == hargs), F.lit(0))
-                     .when(e["r_nparams"] == F.col("_hnargs"), F.lit(1))
-                     .otherwise(F.lit(99))).alias("_hr"),
-                    e["r_params"].alias("r_params"),
-                    e["r_ret"].alias("r_ret"),
-                    e["ret_display"].alias("ret_display"),
-                    e["await_display"].alias("await_display"))),
-            lambda x: x["_hr"] < 99)
-        hj = hj.withColumn("_appl", appl) \
-            .withColumn("_minr", F.get(F.array_sort(F.col("_appl")), 0))
-        minr = F.col("_minr")
-        maxr = F.array_max(F.transform(
-            F.filter(F.col("_appl"), lambda x: x["_hr"] == minr["_hr"]),
-            lambda x: F.struct(x["r_params"].alias("r_params"),
-                               x["r_ret"].alias("r_ret"))))
-        h_amb = (hargs.contains("?") & (minr["_hr"] >= 1)
-                 & ((minr["r_params"] != maxr["r_params"])
-                    | (minr["r_ret"] != maxr["r_ret"])))
-        next_disp = (
-            F.when(~active, F.col("t_display"))
-            .when(minr.isNull() | h_amb, F.lit(None).cast("string"))
-            .when(F.col("_hawait"), minr["await_display"])
-            .otherwise(minr["ret_display"]))
-        state = hj.select(
-            *chain_keep,
-            next_disp.alias("t_display"),
-            F.when(active,
-                   F.expr("slice(hops, 2, greatest(size(hops) - 1, 0))"))
-            .otherwise(F.col("hops")).alias("hops"))
+        hj = hj.select("*", F.expr(_happl).alias("_appl"))
+        state = hj.select(*chain_keep, F.expr(_next).alias("t_display"),
+                          F.expr(_step).alias("hops"))
     chain_done = (state.filter((F.size("hops") == 0)
                                & F.col("t_display").isNotNull())
                   .drop("hops"))
@@ -637,39 +640,30 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     a_cols = ["repo", "m_kind", "m_from_key", "m_rel", "m_name", "m_nargs",
               "m_args", "t_display"]
     own = (mentions.filter(kind == "invoke")
-           .withColumn("t_display", F.col("m_recv"))
-           .select(*a_cols))
+           .select("repo", "m_kind", "m_from_key", "m_rel", "m_name",
+                   "m_nargs", "m_args", F.col("m_recv").alias("t_display")))
     path_a = (p1.filter(kind.isin("ctor", "invoke_via", "invoke_static",
                                   "op"))
               .select(*a_cols)
               .unionByName(own)
               .unionByName(chain_done.select(*a_cols)))
-    path_a = (path_a
-              .withColumn("norm_args", norm_args)
-              .withColumn("lookup",
-                          F.when(kind == "ctor", F.lit("<ctor>"))
-                          .otherwise(F.col("m_name"))))
+    path_a = path_a.select(
+        "*", norm_args.alias("norm_args"),
+        F.expr("CASE WHEN m_kind = 'ctor' THEN '<ctor>' ELSE m_name END")
+        .alias("lookup"))
     aj = _dict_join(path_a, membersg,
                     [F.col("repo") == F.col("mg_repo"),
                      F.col("t_display") == F.col("mg_display"),
                      F.col("lookup") == F.col("mg_lookup")],
                     "left", bc, salt, id_salt)
-    a_best, a_maxk = _member_best(F.col("mg_entries"), F.lit(0))
-    aj = _p(aj.withColumn("_best", a_best).withColumn("_maxk", a_maxk))
-    # arity-rank ties (rank 1 -> _rank 1000..1480) with unclassified args
-    # have no principled winner: Roslyn would bind via conversions the lexer
-    # cannot see, or report ambiguity — either way, guessing is wrong => no
-    # edge. Cross-depth candidates are NOT ties (the depth term separates
-    # them: the shallower declaration hides the base one). Method groups
-    # (m_args null) keep the deterministic min-key pick. Generic winners
-    # bind but emit NO edge (constructed display matches no declared node);
-    # the win still suppresses the extension fallback below.
-    a_amb = (unk & (F.col("_best._rank") >= 1000)
-             & (F.col("_best.member_key") != F.col("_maxk")))
+    aj = aj.select("*", F.expr(_member_appl_sql("mg_entries", "0"))
+                   .alias("_appl"))
+    aj = _ck(aj.select("*", F.expr("get(array_sort(_appl), 0)").alias("_best"))
+             .select("*", F.expr(_MAXK_SQL).alias("_maxk")))
     member_edges = _as_edge(
-        aj.filter(F.col("_best").isNotNull() & ~a_amb
-                  & ~F.col("_best.is_generic"))
-        .withColumn("member_key", F.col("_best.member_key")),
+        aj.filter(F.expr(_A_OK_SQL))
+        .select("repo", "m_from_key", "m_rel",
+                F.col("_best.member_key").alias("member_key")),
         "member_key")
 
     # --- pass 2, path B (multi-candidate mentions): conversions search the
@@ -681,18 +675,20 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     conv = _with_mid(mentions.filter(kind.isin("conv_impl", "conv_expl")))
     conv = _attach_type(
         conv.select("repo", "mid", "m_kind", "m_from_key", "m_rel", "m_name",
-                    "m_nargs", "m_args", "m_usings", "path",
+                    "m_nargs", "m_args", "m_usings",
                     F.explode(F.array_distinct(
                         F.array("m_recv", "m_name"))).alias("_ctok"))
-        .withColumn("_ctok", _valid(F.col("_ctok"))),
-        F.col("_ctok"), "t", id_salt).filter(F.col("t_display").isNotNull())
-    impl_name = F.concat(F.lit("implicit operator "), F.col("m_name"))
-    expl_name = F.concat(F.lit("explicit operator "), F.col("m_name"))
+        .withColumn("_ctok", _valid("_ctok")),
+        F.col("_ctok"), "t", lsalt=id_salt).filter(
+            F.col("t_display").isNotNull())
     conv_cand = conv.select(
         "repo", "mid", "m_from_key", "m_rel", "m_nargs", "m_args",
         "t_display",
-        F.posexplode(F.when(kind == "conv_impl", F.array(impl_name))
-                     .otherwise(F.array(expl_name, impl_name)))
+        F.posexplode(F.expr(
+            "CASE WHEN m_kind = 'conv_impl'"
+            " THEN array(concat('implicit operator ', m_name))"
+            " ELSE array(concat('explicit operator ', m_name),"
+            " concat('implicit operator ', m_name)) END"))
         .alias("lrank", "lookup"))
 
     # using-static imports: a bare call with no own member looks through the
@@ -718,7 +714,7 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                           "left_anti", bc, salt, id_salt)
                .select("repo", "mid", "m_from_key", "m_rel", "m_nargs",
                        "m_args",
-                       F.posexplode(F.split(F.col("m_head"), US))
+                       F.posexplode(F.expr(f"split(m_head, '{US}')"))
                        .alias("lrank", "t_display"),
                        F.col("m_name").alias("lookup")))
 
@@ -738,20 +734,23 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
 
     path_b = (conv_cand.select(*us_cand.columns)
               .unionByName(us_cand).unionByName(base_cand)
-              .withColumn("norm_args", norm_args))
+              .select("*", norm_args.alias("norm_args")))
     bj = _dict_join(path_b, membersg,
                     [F.col("repo") == F.col("mg_repo"),
                      F.col("t_display") == F.col("mg_display"),
                      F.col("lookup") == F.col("mg_lookup")],
                     "inner", bc, salt, id_salt)
-    b_best, b_maxk = _member_best(F.col("mg_entries"), F.col("lrank"))
-    bj = (bj.withColumn("_best", b_best).withColumn("_maxk", b_maxk)
+    bj = bj.select("*", F.expr(_member_appl_sql("mg_entries", "lrank"))
+                   .alias("_appl"))
+    bj = (bj.select("*", F.expr("get(array_sort(_appl), 0)").alias("_best"))
           .filter(F.col("_best").isNotNull())
           .select("repo", "mid", "m_from_key", "m_rel",
                   F.col("_best._rank").alias("_rank"),
                   F.col("_best.member_key").alias("_key"),
                   F.col("_best.is_generic").alias("_gen"),
-                  F.col("_maxk").alias("_rowmax"), unk.alias("_unk")))
+                  F.expr(_MAXK_SQL).alias("_rowmax"),
+                  F.expr("coalesce(contains(norm_args, '?'), false)")
+                  .alias("_unk")))
     b_ranked = (
         bj.groupBy("repo", "mid", "m_from_key", "m_rel")
         .agg(F.min("_rank").alias("_r0"),
@@ -759,10 +758,11 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
              F.expr("min_by(_gen, struct(_rank, _key))").alias("_isgen"),
              F.expr("max_by(_rowmax, struct(-_rank, _rowmax))").alias("_maxk"),
              F.max("_unk").alias("_bunk")))
-    b_amb = (F.col("_bunk") & (F.col("_r0") >= 1000)
-             & (F.col("member_key") != F.col("_maxk")))
-    member_edges_b = _as_edge(b_ranked.filter(~b_amb & ~F.col("_isgen")),
-                              "member_key")
+    member_edges_b = _as_edge(
+        b_ranked.filter(
+            "NOT (_bunk AND _r0 >= 1000 AND member_key != _maxk)"
+            " AND NOT _isgen"),
+        "member_key")
 
     # --- extension-method fallback: receiver-typed calls that found NO
     #     applicable instance member on the resolved type bind to a static
@@ -771,14 +771,14 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     #     exists). Subset convention: the declared receiver token is the
     #     receiver type's simple name (class names are unique per repo in
     #     the fixture corpus). ----------------------------------------------
-    extsg = _p(
+    extsg = _ck(
         mentions.filter(F.col("m_kind") == "extsig")
         .select(F.col("repo").alias("eg_repo"),
                 F.col("m_recv").alias("e_recv"),
                 F.col("m_name").alias("e_name"),
                 F.col("m_nargs").alias("e_nargs"),
-                F.when(F.col("m_args").isNull(), F.lit(""))
-                .otherwise(F.regexp_replace(F.col("m_args"), US, ", "))
+                F.expr(f"CASE WHEN m_args IS NULL THEN ''"
+                       f" ELSE regexp_replace(m_args, '{US}', ', ') END")
                 .alias("e_params"),
                 F.col("m_head").alias("e_display"))
         .distinct()
@@ -789,38 +789,33 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     ext_base = (aj.filter((kind == "invoke_via") & F.col("_best").isNull())
                 .select("repo", "m_from_key", "m_rel", "m_name", "m_nargs",
                         "norm_args",
-                        F.element_at(F.split(F.col("t_display"), "\\."), -1)
+                        F.expr("element_at(split(t_display, '\\\\.'), -1)")
                         .alias("t_simple")))
     ej = _dict_join(ext_base, extsg,
                     [F.col("repo") == F.col("eg_repo"),
                      F.col("m_name") == F.col("eg_name"),
                      F.col("t_simple") == F.col("eg_recv")],
                     "inner", bc, salt, id_salt)
-    e_nrm = F.col("norm_args")
-    e_appl = F.filter(
-        F.transform(
-            F.col("eg_entries"),
-            lambda e: F.struct(
-                (F.when(e_nrm.isNotNull() & ~e_nrm.contains("?")
-                        & (e["e_params"] == e_nrm), F.lit(0))
-                 .when(F.col("m_nargs").isNull(), F.lit(1))
-                 .when(e["e_nargs"] == F.col("m_nargs"), F.lit(1))
-                 .otherwise(F.lit(99))).alias("_er"),
-                e["e_display"].alias("e_display"))),
-        lambda x: x["_er"] < 99)
-    ej = ej.withColumn("_eappl", e_appl) \
-        .withColumn("_ebest", F.get(F.array_sort(F.col("_eappl")), 0))
-    e_max = F.array_max(F.transform(
-        F.filter(F.col("_eappl"),
-                 lambda x: x["_er"] == F.col("_ebest._er")),
-        lambda x: x["e_display"]))
-    e_amb = (unk & (F.col("_ebest._er") >= 1)
-             & (F.col("_ebest.e_display") != e_max))
+    _eappl = ("filter(transform(eg_entries, e -> named_struct("
+              "'_er', CASE WHEN norm_args IS NOT NULL"
+              " AND NOT contains(norm_args, '?')"
+              " AND e.e_params = norm_args THEN 0"
+              " WHEN m_nargs IS NULL THEN 1"
+              " WHEN e.e_nargs = m_nargs THEN 1 ELSE 99 END, "
+              "'e_display', e.e_display)), x -> x._er < 99)")
+    ej = (ej.select("*", F.expr(_eappl).alias("_eappl"))
+          .select("*", F.expr("get(array_sort(_eappl), 0)").alias("_ebest"))
+          .select("*", F.expr(
+              "array_max(transform(filter(_eappl, x -> x._er = _ebest._er),"
+              " x -> x.e_display))").alias("_emax")))
     ext_edges = _as_edge(
-        ej.filter(F.col("_ebest").isNotNull() & ~e_amb)
-        .withColumn("member_key",
-                    F.concat(F.col("repo"), F.lit(":"),
-                             F.col("_ebest.e_display"))),
+        ej.filter(
+            "_ebest IS NOT NULL AND NOT ("
+            "coalesce(contains(norm_args, '?'), false)"
+            " AND _ebest._er >= 1 AND _ebest.e_display != _emax)")
+        .select("repo", "m_from_key", "m_rel",
+                F.expr("concat(repo, ':', _ebest.e_display)")
+                .alias("member_key")),
         "member_key")
 
     # --- using-directive mentions: external namespaces dangle; in-repo
@@ -838,7 +833,6 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
     return (type_edges.unionByName(member_edges)
             .unionByName(member_edges_b)
             .unionByName(ext_edges).unionByName(ext_using))
-
 
 def link_edges(candidate_edges: DataFrame, symbols: DataFrame) -> DataFrame:
     """J1/F9: keep edges whose BOTH endpoints exist as Symbol nodes in the

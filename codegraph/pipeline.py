@@ -415,7 +415,10 @@ def run_pipeline(
         authored = None
 
     if persist:
-        files = files.persist()
+        # lazy localCheckpoint: materialized once AND analysis-flat — files
+        # feeds ~6 node/edge branches whose construction otherwise
+        # re-analyzes the git-stats join subtree (blocks release on GC)
+        files = files.localCheckpoint(eager=False)
 
     # --- entity linking (J1/F9) --------------------------------------------
     rels = records.filter(F.col("rec") == "rel").select(
@@ -590,13 +593,12 @@ def run_pipeline(
     def as_edges(df: DataFrame | None) -> DataFrame | None:
         if df is None:
             return None
-        out = df
-        for name in ("first_commit", "last_commit", "commit_count"):
-            if name not in out.columns:
-                typ = "bigint" if name == "commit_count" else "timestamp"
-                out = out.withColumn(name, F.lit(None).cast(typ))
-        return out.select("repo", "src_key", "rel_type", "dst_key",
-                          "first_commit", "last_commit", "commit_count")
+        have = set(df.columns)
+        cols = [F.col(n) if n in have else
+                F.lit(None).cast("bigint" if n == "commit_count"
+                                 else "timestamp").alias(n)
+                for n in ("first_commit", "last_commit", "commit_count")]
+        return df.select("repo", "src_key", "rel_type", "dst_key", *cols)
 
     edge_parts = [as_edges(x) for x in (
         linked, declares, has_file, authored, has_tag, dep_edges, has_url,
