@@ -39,6 +39,18 @@ def _rest(used: tuple[str, ...]) -> tuple[str, ...]:
     return tuple(c for c in EXTRACT_COLUMNS if c not in skip)
 
 
+def _pa_types():
+    import pyarrow as pa
+
+    return {"start_line": pa.int32(), "end_line": pa.int32(),
+            "m_nargs": pa.int32()}, pa.string()
+
+
+try:  # arrow is always present under pyspark; guard for bare-python tools
+    _PA_TYPES, _PA_STR = _pa_types()
+except Exception:  # pragma: no cover
+    _PA_TYPES, _PA_STR = {}, None
+
 _SYMBOL_REST = _rest(("key", "name", "kind", "klass", "fqn", "accessibility",
                       "namespace", "start_line", "end_line", "documentation",
                       "comments", "version", "language", "technology"))
@@ -148,6 +160,18 @@ class Emitter:
         import pandas as pd
 
         return pd.DataFrame(self._cols, columns=EXTRACT_COLUMNS)
+
+    def to_arrow(self):
+        """Arrow record batch straight from the column lists — no pandas
+        object-array hop on the return side of the Python boundary (the
+        per-column pandas->Arrow coercion was a measurable slice of the
+        extraction stage; ``pa.array`` over a python list is one C call)."""
+        import pyarrow as pa
+
+        return pa.RecordBatch.from_arrays(
+            [pa.array(self._cols[c], type=_PA_TYPES.get(c, _PA_STR))
+             for c in EXTRACT_COLUMNS],
+            names=EXTRACT_COLUMNS)
 
     @property
     def rows(self) -> list[dict]:

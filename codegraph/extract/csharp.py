@@ -537,15 +537,18 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
         stripped = raw.strip()
         lineno = i + 1
 
-        mdoc = _RE_DOC.match(raw)
-        if mdoc:
-            doc_buf.append(mdoc.group(1))
-            i += 1
-            continue
-        if _RE_COMMENT.match(raw):
-            com_buf.append(stripped)
-            i += 1
-            continue
+        # comment/doc shapes require a '/', namespace lines the keyword —
+        # substring guards skip the regex engine on the common code lines
+        if "/" in raw:
+            mdoc = _RE_DOC.match(raw)
+            if mdoc:
+                doc_buf.append(mdoc.group(1))
+                i += 1
+                continue
+            if _RE_COMMENT.match(raw):
+                com_buf.append(stripped)
+                i += 1
+                continue
 
         opens = raw.count("{")
         closes = raw.count("}")
@@ -563,7 +566,8 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
             i += 1
             continue
 
-        mns = _RE_NAMESPACE.match(raw) if not tstack else None
+        mns = (_RE_NAMESPACE.match(raw)
+               if not tstack and "namespace" in raw else None)
         if mns:
             nsname = mns.group(1)
             outer = ns_stack[-1][0] + "." if ns_stack else ""
@@ -585,7 +589,10 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
         # them from the declaration line before shape-matching
         raw_decl = _RE_WHERE.sub("", raw) if " where " in raw else raw
 
-        mt = _RE_TYPE.match(raw_decl)
+        mt = (_RE_TYPE.match(raw_decl)
+              if ("class" in raw_decl or "struct" in raw_decl
+                  or "interface" in raw_decl or "record" in raw_decl
+                  or "enum" in raw_decl) else None)
         if mt:
             doc, com = flush_trivia()
             acc = _acc_name(mt.group("acc"), "Internal" if not tstack else "Private")
@@ -636,7 +643,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
-            mev = _RE_EVENT.match(raw)
+            mev = _RE_EVENT.match(raw) if "event" in raw else None
             if mev:
                 doc, com = flush_trivia()
                 # multi-declarator event: one IEventSymbol per variable
@@ -650,7 +657,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
-            mprop = _RE_PROPERTY.match(raw)
+            mprop = _RE_PROPERTY.match(raw) if "get" in raw else None
             if mprop and mprop.group("type") not in _MODIFIER_WORDS:
                 doc, com = flush_trivia()
                 cur.members.append({
@@ -666,7 +673,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
-            mxp = _RE_EXPR_PROP.match(raw)
+            mxp = _RE_EXPR_PROP.match(raw) if "=>" in raw else None
             if mxp and mxp.group("type") not in _MODIFIER_WORDS:
                 doc, com = flush_trivia()
                 cur.members.append({
@@ -679,8 +686,9 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
-            mconv = _RE_CONVERSION.match(raw)
-            mop = _RE_OPERATOR.match(raw) if not mconv else None
+            has_op = "operator" in raw
+            mconv = _RE_CONVERSION.match(raw) if has_op else None
+            mop = _RE_OPERATOR.match(raw) if has_op and not mconv else None
             if mconv or mop:
                 doc, com = flush_trivia()
                 m = mconv or mop
@@ -706,7 +714,7 @@ def extract_csharp(em: Emitter, content: str, repo: str, file_key: str,
                 i += 1
                 continue
 
-            mm = _RE_METHOD.match(raw_decl)
+            mm = _RE_METHOD.match(raw_decl) if "(" in raw_decl else None
             if mm and (mm.group("ret") or mm.group("name") == cur.name) and \
                     mm.group("name").split(".")[-1] not in _MODIFIER_WORDS and \
                     (mm.group("ret") is None or mm.group("ret") not in
@@ -963,14 +971,18 @@ def _is_keywordish(tok: str | None) -> bool:
             or tok.startswith("System."))
 
 
+_RE_ARG_INT = re.compile(r"\d+")
+_RE_ARG_FLOAT = re.compile(r"\d+\.\d+[fdm]?")
+
+
 def _classify_arg(a: str, locals_: dict, fields: dict, own_display: str) -> str:
     """Argument type token for overload matching ('?' = unknown)."""
     a = a.strip()
     if not a:
         return "?"
-    if re.fullmatch(r"\d+", a):
+    if _RE_ARG_INT.fullmatch(a):
         return "int"
-    if re.fullmatch(r"\d+\.\d+[fdm]?", a):
+    if _RE_ARG_FLOAT.fullmatch(a):
         return "double"
     if a.startswith('"'):
         return "string"
@@ -1005,7 +1017,8 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # changes control flow, not binding), so normalize before scanning; the
     # `?.` digraph cannot occur in any other subset shape (nullable type
     # tokens are followed by whitespace, ternaries space their '?')
-    text = text.replace("?.", ".")
+    if "?." in text:
+        text = text.replace("?.", ".")
     # keep condition-internal calls scannable (see _RE_CTRL_KW)
     text = _RE_CTRL_KW.sub(lambda m: " " * (len(m.group(0)) - 1) + "(", text)
 
@@ -1014,39 +1027,44 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # explicitly-typed lambda params act as typed locals for the body walk
     # (scoping is flattened to the member — acceptable in the subset, where
     # lambda param names don't shadow other locals)
-    for lm in _RE_LAMBDA_PARAM.finditer(body):
-        locals_.setdefault(lm.group("name"), lm.group("tok"))
+    if "=>" in body:
+        for lm in _RE_LAMBDA_PARAM.finditer(body):
+            locals_.setdefault(lm.group("name"), lm.group("tok"))
     # iteration + query range variables: `foreach (var it in xs)` /
     # `from e in xs` bind the variable to xs's element type (an explicitly
     # typed foreach keeps its declared token). Sources are fields or
     # params; unknown sources leave the variable untyped, so its calls
     # dangle like any unclassifiable receiver. Scoping flattens to the
     # member, same as lambda params above.
-    for fm in _RE_FOREACH.finditer(body):
-        tok = fm.group("tok")
-        if tok == "var":
-            et = _elem_type(locals_.get(fm.group("src"))
-                            or t.fields.get(fm.group("src")))
-        else:
-            et = tok.rstrip("?")
-        if et:
-            locals_.setdefault(fm.group("name"), et)
-    for qm in _RE_QUERY_FROM.finditer(body):
-        et = _elem_type(locals_.get(qm.group("src"))
-                        or t.fields.get(qm.group("src")))
-        if et:
-            locals_.setdefault(qm.group("name"), et)
+    if "foreach" in body:
+        for fm in _RE_FOREACH.finditer(body):
+            tok = fm.group("tok")
+            if tok == "var":
+                et = _elem_type(locals_.get(fm.group("src"))
+                                or t.fields.get(fm.group("src")))
+            else:
+                et = tok.rstrip("?")
+            if et:
+                locals_.setdefault(fm.group("name"), et)
+    if "from" in body:
+        for qm in _RE_QUERY_FROM.finditer(body):
+            et = _elem_type(locals_.get(qm.group("src"))
+                            or t.fields.get(qm.group("src")))
+            if et:
+                locals_.setdefault(qm.group("name"), et)
     # declaration-pattern variables: `if (o is Dep n)` narrows n to Dep
-    for pm in _RE_IS_PATTERN.finditer(body):
-        locals_.setdefault(pm.group("name"), pm.group("t"))
+    if "is" in body:
+        for pm in _RE_IS_PATTERN.finditer(body):
+            locals_.setdefault(pm.group("name"), pm.group("t"))
     # switch-case declaration patterns narrow their variable the same way
-    for pm in _RE_CASE_PATTERN.finditer(body):
-        locals_.setdefault(pm.group("name"), pm.group("t"))
+    if "case" in body:
+        for pm in _RE_CASE_PATTERN.finditer(body):
+            locals_.setdefault(pm.group("name"), pm.group("t"))
     # out-var declarations: `TryMake(out var d)` types d from the OWN
     # method's out parameter when every same-arity overload agrees on the
     # token (Roslyn binds the declared type; an overload disagreement or a
     # cross-type receiver leaves the local untyped -> its calls drop)
-    for om in _RE_OUT_VAR.finditer(body):
+    for om in (_RE_OUT_VAR.finditer(body) if "out" in body else ()):
         arg_list = [a.strip() for a in _split_args(om.group("args"))]
         pos, var = next(
             ((i, mv.group("v")) for i, a in enumerate(arg_list)
@@ -1162,7 +1180,11 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # --- statement pass: local type tracking + non-invocation INVOKES ------
     for raw_line in text.split("\n"):
         s = raw_line.strip()
-        ml = _RE_LOCAL.match(s)
+        # _RE_LOCAL/_RE_ASSIGN both require a literal '=', _RE_RET the
+        # 'return' prefix — cheap substring guards skip the regex engine
+        # for the common statement lines that can't match
+        has_eq = "=" in s
+        ml = _RE_LOCAL.match(s) if has_eq else None
         if ml:
             tok, name, rhs = ml.group("tok"), ml.group("name"), ml.group("rhs").strip()
             declared = None if tok == "var" else tok.rstrip("?")
@@ -1190,8 +1212,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 # DECLARED type's ctor; the _RE_NEW scan cannot see the type
                 # token, so the ctor mention is emitted here
                 emit_ctor(declared, mnt.group("a"))
-            elif _RE_CASTX.match(rhs):
-                mc = _RE_CASTX.match(rhs)
+            elif (mc := _RE_CASTX.match(rhs)) is not None:
                 target, operand = mc.group("t"), mc.group("e")
                 op_type = type_of(operand) if _RE_IDENT.match(operand) and not operand.isdigit() else None
                 # an `object` operand never binds a user-defined conversion
@@ -1202,34 +1223,30 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                         _is_keywordish(target.rstrip("?")) and _is_keywordish(op_type)):
                     conv("conv_expl", target, op_type)
                 inferred = target.rstrip("?")
-            elif _RE_BIN.match(rhs):
-                mb = _RE_BIN.match(rhs)
+            elif (mb := _RE_BIN.match(rhs)) is not None:
                 ta, tb = type_of(mb.group("a")), type_of(mb.group("b"))
                 opt = ta if not _is_keywordish(ta) else (tb if not _is_keywordish(tb) else None)
                 if opt:
                     mention_once("op", f"operator {mb.group('op')}", opt, 2, [opt, opt])
                     inferred = "bool" if mb.group("op") in _CMP_OPS else opt
-            elif _RE_PRE.match(rhs):
-                mp = _RE_PRE.match(rhs)
+            elif (mp := _RE_PRE.match(rhs)) is not None:
                 ta = type_of(mp.group("a"))
                 if not _is_keywordish(ta):
                     mention_once("op", f"operator {mp.group('op')}", ta, 1, [ta])
                     inferred = "bool" if mp.group("op") == "!" else ta
-            elif _RE_POST.match(rhs):
-                mp = _RE_POST.match(rhs)
+            elif (mp := _RE_POST.match(rhs)) is not None:
                 ta = type_of(mp.group("a"))
                 if not _is_keywordish(ta):
                     mention_once("op", f"operator {mp.group('op')}", ta, 1, [ta])
                     inferred = ta
-            elif _RE_AS.match(rhs):
+            elif (mas := _RE_AS.match(rhs)) is not None:
                 # `var m = o as Dep;` — m narrows to Dep; no conversion
                 # member is invoked (reference conversions bind no symbol)
-                inferred = _RE_AS.match(rhs).group("t").rstrip("?")
-            elif _RE_INDEX_READ.fullmatch(rhs):
+                inferred = mas.group("t").rstrip("?")
+            elif (mir := _RE_INDEX_READ.fullmatch(rhs)) is not None:
                 # `var v = reg[k];` — the element access binds this[..];
                 # v takes the collection's value/element type
-                rtok = type_of(_RE_INDEX_READ.fullmatch(rhs).group("recv"))
-                inferred = _index_elem_type(rtok)
+                inferred = _index_elem_type(type_of(mir.group("recv")))
             elif (mt := _RE_TERNARY.match(rhs)) is not None:
                 # `var pick = f ? a : b;` — same-typed operands give the
                 # conditional expression its type (best common type)
@@ -1304,7 +1321,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                             local_heads[name] = (base, hops)
             locals_[name] = declared or inferred or ""
             continue
-        ma = _RE_ASSIGN.match(s)
+        ma = _RE_ASSIGN.match(s) if has_eq else None
         if ma:
             # implicit conversion at ASSIGNMENT position (`n = q;` after
             # declaration): AssignmentExpressionSyntax right-hand sides are
@@ -1322,7 +1339,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                 # the target type is the assignee's declared type
                 emit_ctor(declared, mnt.group("a"))
             continue
-        mr = _RE_RET.match(s)
+        mr = _RE_RET.match(s) if s.startswith("return") else None
         if mr and ret_tok and ret_tok != "void":
             rt = type_of(mr.group("e"))
             if rt and not _is_keywordish(rt):
@@ -1338,7 +1355,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # `[^)]*` argument capture stops at the lambda body's first `)`).
     pieces: list[str] = []
     last = 0
-    for m in _RE_LAMBDA_CALL.finditer(text):
+    for m in (_RE_LAMBDA_CALL.finditer(text) if "=>" in text else ()):
         p, pr = m.group("p"), m.group("pr")
         rt = _elem_type(type_of(m.group("recv"))) if pr == p else type_of(pr)
         if rt and not _is_keywordish(rt):
@@ -1359,18 +1376,21 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
     # binds the generic DEFINITION and emits NO edge — the reference keys
     # the edge off the CONSTRUCTED symbol display, which dangles
     # (SymbolMapper.BuildStableSymbolKey, no .OriginalDefinition)
-    text = _RE_TARGS_CALL.sub(r"\g<n>(", text)
+    if "<" in text:
+        text = _RE_TARGS_CALL.sub(r"\g<n>(", text)
 
     # nameof(...) argument spans are blanked BEFORE the member-access /
     # identifier scans: Roslyn returns SymbolInfo.Symbol = null inside
     # nameof (CandidateReason.MemberGroup), so neither a bare identifier
     # (nameof(Run)) nor a member access (nameof(_dep.Run)) binds anything —
     # the reference's IMethodSymbol pattern-match adds no edge
-    text = _RE_NAMEOF.sub(
-        lambda m: "nameof(" + " " * len(m.group(1)) + ")", text)
+    if "nameof" in text:
+        text = _RE_NAMEOF.sub(
+            lambda m: "nameof(" + " " * len(m.group(1)) + ")", text)
 
     # --- invocation pass ----------------------------------------------------
-    for m in _RE_NEW.finditer(text):
+    has_new = "new" in text
+    for m in (_RE_NEW.finditer(text) if has_new else ()):
         emit_ctor(m.group(1), m.group(2))
 
     # --- expression receivers of statically-known type ----------------------
@@ -1399,7 +1419,7 @@ def _analyze_body(em: Emitter, repo: str, caller_key: str, t: _Type,
                            tuple(hop_sig(n2, a2) for n2, a2 in segs[:i]),
                            nm, arg)
 
-    for m in _RE_NEW_RECV.finditer(text):
+    for m in (_RE_NEW_RECV.finditer(text) if has_new else ()):
         # `new Dep(..).M()..` — the ctor edge comes from the _RE_NEW scan
         emit_recv_chain(m.group("t"), m.group("rest"))
     for m in _RE_CAST_RECV.finditer(text):

@@ -124,33 +124,38 @@ def extract_records(source_df, min_acc: int, ts_projects: dict | None,
     def _s(v):
         return v if isinstance(v, str) else None
 
+    # Arrow-native batches on BOTH sides of the Python boundary (guide §4):
+    # to_pydict() hands the lexers plain python strings in one C call per
+    # column (no pandas object-array hop), and Emitter.to_arrow() returns
+    # the record batch the same way. The function is otherwise unchanged.
     def run(batches):
         ts, pkg, cfg = bc_ts.value, bc_pkg.value, bc_cfg.value
-        for pdf in batches:
+        for rb in batches:
+            d = rb.to_pydict()
             em = Emitter()
             if join_mode:
                 for repo, path, content, proj, pdir, inc, exc, tsp, tsb in zip(
-                        pdf["repo"], pdf["path"], pdf["content"],
-                        pdf["ts_project"], pdf["ts_project_dir"],
-                        pdf["ts_includes"], pdf["ts_excludes"],
-                        pdf["ts_paths"], pdf["ts_baseurl"]):
+                        d["repo"], d["path"], d["content"],
+                        d["ts_project"], d["ts_project_dir"],
+                        d["ts_includes"], d["ts_excludes"],
+                        d["ts_paths"], d["ts_baseurl"]):
                     resolved = (_s(proj), _s(pdir), _s(inc), _s(exc),
                                 _s(tsp), _s(tsb))
                     _extract_into(em, repo, path, content, min_acc, ts, pkg,
                                   ts_resolved=resolved)
             else:
-                for repo, path, content in zip(pdf["repo"], pdf["path"],
-                                               pdf["content"]):
+                for repo, path, content in zip(d["repo"], d["path"],
+                                               d["content"]):
                     _extract_into(em, repo, path, content, min_acc, ts, pkg,
                                   ts_configs=cfg)
             if em.n:
-                yield em.to_pandas()
+                yield em.to_arrow()
 
     cols = ["repo", "path", "content"]
     if join_mode:
         cols += ["ts_project", "ts_project_dir", "ts_includes", "ts_excludes",
                  "ts_paths", "ts_baseurl"]
-    return source_df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return source_df.select(*cols).mapInArrow(run, schema=EXTRACT_SCHEMA)
 
 
 def _dir_of_path():

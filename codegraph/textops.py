@@ -52,8 +52,10 @@ def _token_hash_sql(tok_expr: str) -> str:
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
+    # one sha pass feeds both the group counts and the join probe side
+    # (Catalyst re-executes shared subtrees per reference otherwise)
     h = F.sha2(F.col("text"), 256).alias("text_sha")
-    with_h = docs.select("doc_id", h)
+    with_h = _once(docs.select("doc_id", h))
     counts = with_h.groupBy("text_sha").agg(
         F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
     return (with_h.join(counts, "text_sha")
