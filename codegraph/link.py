@@ -739,7 +739,8 @@ def resolve_mentions(records: DataFrame, symbols: DataFrame,
                     [F.col("repo") == F.col("mg_repo"),
                      F.col("t_display") == F.col("mg_display"),
                      F.col("lookup") == F.col("mg_lookup")],
-                    "inner", bc, salt, id_salt)
+                    "inner", bc, salt,
+                    F.xxhash64("repo", "m_from_key", "lookup"))
     bj = bj.select("*", F.expr(_member_appl_sql("mg_entries", "lrank"))
                    .alias("_appl"))
     bj = (bj.select("*", F.expr("get(array_sort(_appl), 0)").alias("_best"))
